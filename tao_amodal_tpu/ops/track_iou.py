@@ -1,0 +1,116 @@
+"""Track-level (3D) IoU as one batched tensor contraction.
+
+The reference computes each entry of the (dt_track x gt_track) IoU matrix
+with a Python loop over the union of frame ids
+(``tao_amodal/evaluation/tao_amodal/eval.py:51-117``), called O(D*G) times
+per (video, category) cell.  Here a video's tracks are laid out as padded
+dense tensors over a shared frame axis:
+
+  boxes:  ``[T, F, 4]``  xywh per track per frame slot
+  valid:  ``[T, F]``     bool, True where the track has a box in that frame
+
+and all three IoU modes reduce over ``F`` in a single fused elementwise+
+reduction program — O(D*G*F) VPU work with no host round-trips.  The
+frame axis is also the context-parallel shard axis: 3D IoU is
+``sum_f I / sum_f U`` so per-shard partial (I, U) pairs combine exactly
+with a ``psum`` (see ``tao_amodal_tpu.parallel.cp``).
+
+Modes (reference ``eval.py:752-757``):
+  * ``3d_iou``:       sum_f intersect / sum_f union
+  * ``avg_iou``:      mean_f (intersect / union)      (0 where only one side)
+  * ``imagenetvid``:  (#frames with IoU > thr) / (#frames either side present)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from tao_amodal_tpu.ops.boxes import box_intersect_union
+
+
+def _pairwise_frame_terms(dt_boxes, dt_valid, gt_boxes, gt_valid, xp=jnp):
+    """Per-frame I and U terms for every (dt, gt) pair.
+
+    Returns ``inter[D,G,F]``, ``union[D,G,F]``, ``both[D,G,F]``,
+    ``either[D,G,F]`` where ``union`` already includes the
+    lone-box frames: when only one side has a box its area counts toward
+    the union (reference ``eval.py:91-94``).
+    """
+    d = dt_boxes[:, None, :, :]  # [D,1,F,4]
+    g = gt_boxes[None, :, :, :]  # [1,G,F,4]
+    inter, union = box_intersect_union(d, g, xp=xp)  # [D,G,F]
+
+    dv = dt_valid[:, None, :]  # [D,1,F]
+    gv = gt_valid[None, :, :]  # [1,G,F]
+    both = dv & gv
+    only_d = dv & ~gv
+    only_g = ~dv & gv
+
+    d_area = (dt_boxes[..., 2] * dt_boxes[..., 3])[:, None, :]
+    g_area = (gt_boxes[..., 2] * gt_boxes[..., 3])[None, :, :]
+
+    inter = xp.where(both, inter, 0.0)
+    union = (
+        xp.where(both, union, 0.0)
+        + xp.where(only_d, d_area, 0.0)
+        + xp.where(only_g, g_area, 0.0)
+    )
+    return inter, union, both, dv | gv
+
+
+def track_iou_matrix(dt_boxes, dt_valid, gt_boxes, gt_valid, mode="3d_iou",
+                     vid_thr=0.5, xp=jnp):
+    """Full track-IoU matrix for one video.
+
+    Args:
+      dt_boxes: ``[D, F, 4]`` xywh; arbitrary values in invalid slots.
+      dt_valid: ``[D, F]`` bool.
+      gt_boxes: ``[G, F, 4]`` xywh.
+      gt_valid: ``[G, F]`` bool.
+      mode: ``3d_iou`` | ``avg_iou`` | ``imagenetvid``.
+      vid_thr: per-frame match threshold for ``imagenetvid`` mode
+        (reference ``eval.py:51`` default 0.5).
+
+    Returns:
+      ``[D, G]`` float32 matrix.
+    """
+    inter, union, both, either = _pairwise_frame_terms(
+        dt_boxes, dt_valid, gt_boxes, gt_valid, xp=xp)
+
+    if mode == "3d_iou":
+        i_sum = xp.sum(inter, axis=-1)
+        u_sum = xp.sum(union, axis=-1)
+        return xp.where(u_sum > 0, i_sum / xp.where(u_sum > 0, u_sum, 1.0),
+                        0.0)
+    if mode == "avg_iou":
+        # Per-frame IoU where both present; 0 where exactly one present;
+        # frames where neither is present do not enter the mean
+        # (reference ``eval.py:107-117``).
+        per_frame = xp.where(union > 0, inter / xp.where(union > 0, union, 1.0), 0.0)
+        per_frame = xp.where(both, per_frame, 0.0)
+        count = xp.sum(either, axis=-1)
+        return xp.where(count > 0,
+                        xp.sum(per_frame, axis=-1)
+                        / xp.maximum(count, 1), 0.0)
+    if mode == "imagenetvid":
+        # Frame matched when intersect > thr * union (strict >,
+        # reference ``eval.py:65``); denominator counts frames where
+        # either side has a box.
+        matched = both & (inter > vid_thr * union)
+        num = xp.sum(matched, axis=-1)
+        den = xp.sum(either, axis=-1)
+        return xp.where(den > 0, num / xp.maximum(den, 1), 0.0)
+    raise ValueError(f"unknown track IoU mode: {mode}")
+
+
+def track_iou_partials(dt_boxes, dt_valid, gt_boxes, gt_valid, xp=jnp):
+    """Partial (I, U) sums over this shard's frame slice.
+
+    Context-parallel building block: each device reduces its local frame
+    shard; a lax ``psum`` over the frame mesh axis then yields the exact
+    global 3D IoU numerator/denominator (exactness per the decomposition
+    noted in the survey of reference ``eval.py:73-96``).
+    """
+    inter, union, _, _ = _pairwise_frame_terms(
+        dt_boxes, dt_valid, gt_boxes, gt_valid, xp=xp)
+    return xp.sum(inter, axis=-1), xp.sum(union, axis=-1)
