@@ -135,6 +135,15 @@ def merge(rles, intersect=False):
         return rles
     if len(rles) == 1:
         return dict(rles[0])
+    native = _get_native()
+    if native is not None:
+        acc = np.asarray(_counts_list(rles[0]), np.uint32)
+        for r in rles[1:]:
+            acc = native.merge_pair(
+                acc, np.asarray(_counts_list(r), np.uint32),
+                intersect=intersect)
+        return {"size": list(rles[0]["size"]),
+                "counts": _compress_counts(acc.tolist())}
     masks = decode(list(rles))
     if intersect:
         combined = np.all(masks, axis=2)
@@ -158,12 +167,19 @@ def iou(dt, gt, iscrowd):
             return []
         return np.asarray(box_iou_matrix(d, g, iscrowd=np.asarray(
             iscrowd, dtype=bool) if len(iscrowd) else None, xp=np))
-    # RLE mask IoU via run-wise intersection (decode-free would be better;
-    # fallback decodes).
+    # RLE mask IoU: run-level sweep in C++ when built; numpy fallback
+    # decodes to dense bitmasks.
     dts = dt if isinstance(dt, (list, tuple)) else [dt]
     gts = gt if isinstance(gt, (list, tuple)) else [gt]
     if not dts or not gts:
         return []
+    native = _get_native()
+    if native is not None:
+        return native.iou_matrix(
+            [np.asarray(_counts_list(r), np.uint32) for r in dts],
+            [np.asarray(_counts_list(r), np.uint32) for r in gts],
+            iscrowd=iscrowd if iscrowd is not None and len(iscrowd)
+            else None)
     out = np.zeros((len(dts), len(gts)), dtype=np.float64)
     d_masks = [decode(r).astype(bool) for r in dts]
     g_masks = [decode(r).astype(bool) for r in gts]
