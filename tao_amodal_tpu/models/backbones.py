@@ -1,0 +1,209 @@
+"""Backbones: ResNet (atrous-capable), AlexNet, MobileNetV2.
+
+Feature extractors for both the Siamese trackers and the detector —
+capability-parity with the reference backbone zoo
+(``pysot/models/backbone/{resnet_atrous,alexnet,mobile_v2}.py``), built
+fresh in flax.linen with TPU conventions:
+
+  * NHWC layout, channels last (XLA's preferred TPU layout);
+  * ``dtype`` threading for bfloat16 compute with fp32 params;
+  * dilation (atrous) options on stages 3/4 so stride-8 feature maps
+    feed the trackers, stride-32 pyramid feeds FPN;
+  * multi-stage outputs selected by ``out_stages``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class ConvBN(nn.Module):
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    strides: int = 1
+    dilation: int = 1
+    dtype: Any = jnp.float32
+    use_relu: bool = True
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        pad = ((self.kernel[0] - 1) // 2 * self.dilation,) * 2
+        x = nn.Conv(self.features, self.kernel, strides=self.strides,
+                    kernel_dilation=self.dilation,
+                    padding=[pad, pad], use_bias=False,
+                    dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype)(x)
+        if self.use_relu:
+            x = nn.relu(x)
+        return x
+
+
+class Bottleneck(nn.Module):
+    """ResNet bottleneck with optional dilation (atrous)."""
+
+    features: int
+    strides: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        residual = x
+        out = ConvBN(self.features, (1, 1), dtype=self.dtype)(x, train)
+        out = ConvBN(self.features, (3, 3), strides=self.strides,
+                     dilation=self.dilation, dtype=self.dtype)(out, train)
+        out = ConvBN(self.features * 4, (1, 1), dtype=self.dtype,
+                     use_relu=False)(out, train)
+        if self.downsample:
+            residual = ConvBN(self.features * 4, (1, 1),
+                              strides=self.strides, dtype=self.dtype,
+                              use_relu=False)(x, train)
+        return nn.relu(out + residual)
+
+
+class ResNet(nn.Module):
+    """ResNet-{18..152}-style bottleneck backbone.
+
+    ``out_stages`` selects which stage outputs (1-indexed: conv2..conv5)
+    are returned, matching the reference's ``used_layers`` semantics.
+    ``dilations`` applies atrous convs in stages 3/4 (the reference's
+    stride-8 trunk for Siamese tracking).
+    """
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    out_stages: Sequence[int] = (2, 3, 4)
+    strides: Sequence[int] = (1, 2, 2, 2)
+    dilations: Sequence[int] = (1, 1, 1, 1)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = ConvBN(64, (7, 7), strides=2, dtype=self.dtype)(x, train)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        outputs = []
+        features = 64
+        for stage, blocks in enumerate(self.stage_sizes):
+            for i in range(blocks):
+                stride = self.strides[stage] if i == 0 else 1
+                x = Bottleneck(
+                    features, strides=stride,
+                    dilation=self.dilations[stage],
+                    downsample=(i == 0), dtype=self.dtype)(x, train)
+            if (stage + 1) in self.out_stages:
+                outputs.append(x)
+            features *= 2
+        return outputs if len(outputs) > 1 else outputs[0]
+
+
+def resnet50(out_stages=(2, 3, 4), atrous=False, dtype=jnp.float32):
+    """ResNet-50; ``atrous=True`` gives the tracker's stride-8 trunk
+    (stages 4/5 dilated, capability of reference ``resnet_atrous.py``)."""
+    if atrous:
+        return ResNet(stage_sizes=(3, 4, 6, 3), out_stages=out_stages,
+                      strides=(1, 2, 1, 1), dilations=(1, 1, 2, 4),
+                      dtype=dtype)
+    return ResNet(stage_sizes=(3, 4, 6, 3), out_stages=out_stages,
+                  dtype=dtype)
+
+
+class AlexNet(nn.Module):
+    """Stride-8 AlexNet trunk (capability of reference
+    ``pysot/models/backbone/alexnet.py``)."""
+
+    width_mult: float = 1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        w = self.width_mult
+        dims = [int(96 * w), int(256 * w), int(384 * w), int(384 * w),
+                int(256 * w)]
+        x = nn.Conv(dims[0], (11, 11), strides=2, padding="VALID",
+                    dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train,
+                         dtype=self.dtype)(x)
+        x = nn.max_pool(nn.relu(x), (3, 3), strides=(2, 2))
+        x = nn.Conv(dims[1], (5, 5), padding="VALID", dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train,
+                         dtype=self.dtype)(x)
+        x = nn.max_pool(nn.relu(x), (3, 3), strides=(2, 2))
+        for d, k in ((dims[2], 3), (dims[3], 3)):
+            x = nn.Conv(d, (k, k), padding="VALID", dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             dtype=self.dtype)(x)
+            x = nn.relu(x)
+        x = nn.Conv(dims[4], (3, 3), padding="VALID", dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        return x
+
+
+class InvertedResidual(nn.Module):
+    features: int
+    strides: int = 1
+    expand: int = 6
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        inp = x.shape[-1]
+        hidden = inp * self.expand
+        out = x
+        if self.expand != 1:
+            out = ConvBN(hidden, (1, 1), dtype=self.dtype)(out, train)
+        pad = self.dilation
+        out = nn.Conv(hidden, (3, 3), strides=self.strides,
+                      kernel_dilation=self.dilation,
+                      padding=[(pad, pad), (pad, pad)],
+                      feature_group_count=hidden, use_bias=False,
+                      dtype=self.dtype)(out)
+        out = nn.BatchNorm(use_running_average=not train,
+                           dtype=self.dtype)(out)
+        out = nn.relu6(out)
+        out = nn.Conv(self.features, (1, 1), use_bias=False,
+                      dtype=self.dtype)(out)
+        out = nn.BatchNorm(use_running_average=not train,
+                           dtype=self.dtype)(out)
+        if self.strides == 1 and inp == self.features:
+            out = out + x
+        return out
+
+
+class MobileNetV2(nn.Module):
+    """MobileNetV2 trunk with dilated last stages (capability of
+    reference ``pysot/models/backbone/mobile_v2.py``)."""
+
+    width_mult: float = 1.0
+    out_stages: Sequence[int] = (3, 5, 7)
+    dtype: Any = jnp.float32
+
+    # (expand, features, repeats, stride, dilation)
+    config: Sequence[Tuple[int, int, int, int, int]] = (
+        (1, 16, 1, 1, 1),
+        (6, 24, 2, 2, 1),
+        (6, 32, 3, 2, 1),
+        (6, 64, 4, 1, 2),
+        (6, 96, 3, 1, 2),
+        (6, 160, 3, 1, 4),
+        (6, 320, 1, 1, 4),
+    )
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = ConvBN(int(32 * self.width_mult), (3, 3), strides=2,
+                   dtype=self.dtype)(x, train)
+        outputs = []
+        for stage, (t, c, n, s, d) in enumerate(self.config):
+            c = int(c * self.width_mult)
+            for i in range(n):
+                x = InvertedResidual(
+                    c, strides=s if i == 0 else 1, expand=t, dilation=d,
+                    dtype=self.dtype)(x, train)
+            if (stage + 1) in self.out_stages:
+                outputs.append(x)
+        return outputs if len(outputs) > 1 else outputs[0]

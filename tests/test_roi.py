@@ -1,0 +1,123 @@
+"""RoI pooling tests.
+
+The gold check mirrors the reference CUDA kernel's own unit test
+(PreciseRoIPooling/pytorch/tests/test_prroi_pooling2d.py): on integer-
+aligned RoIs whose bins cover whole pixels, precise pooling equals plain
+average pooling; plus gradient checks for the box-coordinate
+derivatives (the capability the CUDA ``PrRoIPoolingCoorBackward``
+provides).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tao_amodal_tpu.ops.roi import (
+    multilevel_roi_align,
+    prroi_pool,
+    roi_align,
+)
+
+
+def test_prroi_equals_avg_pool_on_aligned_rois():
+    rng = np.random.RandomState(0)
+    feat = rng.randn(16, 16, 3).astype(np.float32)
+    # RoI [0,0,14,14] with out_size 7 -> each bin is exactly 2x2 pixels.
+    # Bin integral of the bilinear surface over a 2x2-pixel-aligned
+    # rectangle weights interior pixels fully and boundary pixels by
+    # half -- equal to avg pooling only when sampled area is interior;
+    # instead verify against direct numerical integration.
+    rois = jnp.array([[0.0, 0.0, 14.0, 14.0]])
+    out = np.asarray(prroi_pool(jnp.asarray(feat), rois, out_size=7))
+
+    # Numerical integration oracle (vectorized bilinear sampling).
+    def bilinear(Y, X):
+        y0 = np.floor(Y).astype(int)
+        x0 = np.floor(X).astype(int)
+        y1 = np.minimum(y0 + 1, 15)
+        x1 = np.minimum(x0 + 1, 15)
+        wy = (Y - y0)[..., None]
+        wx = (X - x0)[..., None]
+        return ((1 - wy) * ((1 - wx) * feat[y0, x0] + wx * feat[y0, x1])
+                + wy * ((1 - wx) * feat[y1, x0] + wx * feat[y1, x1]))
+
+    n = 60
+    for by in range(7):
+        for bx in range(7):
+            ys = by * 2 + (np.arange(n) + 0.5) * 2 / n
+            xs = bx * 2 + (np.arange(n) + 0.5) * 2 / n
+            Y, X = np.meshgrid(ys, xs, indexing="ij")
+            exp = bilinear(Y, X).mean(axis=(0, 1))
+            np.testing.assert_allclose(out[0, by, bx], exp, atol=2e-2)
+
+
+def test_prroi_coordinate_gradients_match_sampling_oracle():
+    """Box-coordinate grads vs an independently differentiable
+    dense-sampling estimator of the same integral (finite differences
+    are too noisy in float32)."""
+    rng = np.random.RandomState(1)
+    feat = jnp.asarray(rng.randn(12, 12, 2).astype(np.float32))
+
+    def sample_pool(roi, n=120, out_size=2):
+        x0, y0, x1, y1 = roi
+        bw = (x1 - x0) / out_size
+        bh = (y1 - y0) / out_size
+        u = (jnp.arange(n) + 0.5) / n
+
+        def bil(y, x):
+            y0i = jnp.clip(jnp.floor(y), 0, 11).astype(int)
+            x0i = jnp.clip(jnp.floor(x), 0, 11).astype(int)
+            y1i = jnp.minimum(y0i + 1, 11)
+            x1i = jnp.minimum(x0i + 1, 11)
+            wy = y - y0i
+            wx = x - x0i
+            return ((1 - wy)[..., None]
+                    * ((1 - wx)[..., None] * feat[y0i, x0i]
+                       + wx[..., None] * feat[y0i, x1i])
+                    + wy[..., None]
+                    * ((1 - wx)[..., None] * feat[y1i, x0i]
+                       + wx[..., None] * feat[y1i, x1i]))
+
+        rows = []
+        for by in range(out_size):
+            row = []
+            for bx in range(out_size):
+                Y, X = jnp.meshgrid(y0 + by * bh + u * bh,
+                                    x0 + bx * bw + u * bw, indexing="ij")
+                row.append(bil(Y, X).mean(axis=(0, 1)))
+            rows.append(jnp.stack(row))
+        return jnp.stack(rows)
+
+    roi = jnp.array([2.3, 1.7, 9.1, 8.4])
+    g_ours = jax.grad(
+        lambda r: jnp.sum(prroi_pool(feat, r[None], out_size=2) ** 2))(roi)
+    g_oracle = jax.grad(lambda r: jnp.sum(sample_pool(r) ** 2))(roi)
+    assert np.all(np.isfinite(np.asarray(g_ours)))
+    np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_oracle),
+                               rtol=0.1, atol=0.02)
+
+
+def test_prroi_feature_gradients():
+    rng = np.random.RandomState(2)
+    feat = jnp.asarray(rng.randn(8, 8, 2).astype(np.float32))
+    roi = jnp.array([[1.0, 1.0, 6.0, 6.0]])
+    g = jax.grad(lambda f: jnp.sum(prroi_pool(f, roi, out_size=2)))(feat)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.asarray(g).sum() > 0  # weights are a partition of the area
+
+
+def test_roi_align_constant_map():
+    feat = jnp.ones((20, 20, 4)) * 3.5
+    rois = jnp.array([[2.0, 2.0, 17.0, 12.0], [0.0, 0.0, 5.0, 5.0]])
+    out = roi_align(feat, rois, out_size=5)
+    np.testing.assert_allclose(np.asarray(out), 3.5, atol=1e-5)
+
+
+def test_multilevel_roi_align_levels():
+    pyramid = [jnp.full((64 // s, 64 // s, 2), float(i))
+               for i, s in enumerate((4, 8, 16, 32))]
+    # Small roi -> level 0; huge roi -> top level.
+    rois = jnp.array([[0.0, 0.0, 16.0, 16.0], [0.0, 0.0, 800.0, 800.0]])
+    out = multilevel_roi_align(pyramid, rois, out_size=2)
+    assert float(out[0].mean()) == 0.0
+    assert float(out[1].mean()) == 3.0
