@@ -66,10 +66,12 @@ class ClipDetector(nn.Module):
     anchor_scales: Sequence[float] = (32, 64, 128, 256, 512)
     anchor_ratios: Sequence[float] = (0.5, 1.0, 2.0)
     strides: Sequence[int] = (4, 8, 16, 32, 64)
+    backbone_stages: Sequence[int] = (3, 4, 6, 3)  # ResNet-50
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = ResNet(out_stages=(1, 2, 3, 4), dtype=self.dtype)
+        self.backbone = ResNet(stage_sizes=tuple(self.backbone_stages),
+                               out_stages=(1, 2, 3, 4), dtype=self.dtype)
         self.fpn = FPN(self.features, num_extra_levels=1, dtype=self.dtype)
         self.rpn = RPNHead(num_anchors=len(self.anchor_ratios),
                            features=self.features, dtype=self.dtype)

@@ -1,9 +1,19 @@
-"""Greedy NMS as a fixed-shape XLA program.
+"""Greedy NMS as parallel fixpoint iteration (TPU-friendly, exact).
 
 Device-side replacement for the reference's C ``bbNms``/``rleNms``
-(``maskApi.c:98-132``): score-sorted greedy suppression implemented as a
-``fori_loop`` over a fixed output budget with a suppression mask carry —
-no dynamic shapes, fully jit/vmap-able (vmap over batch/class).
+(``maskApi.c:98-132``).  Greedy NMS is the unique solution of the
+acyclic recurrence
+
+    keep[j] = not exists i ranked-above j with keep[i] and IoU > thr
+
+Jacobi-iterating that recurrence converges to the greedy result in at
+most chain-depth rounds (typically < 8); each round is one [N, N]
+masked reduction — dense vector work instead of an N-step sequential
+``fori_loop``, which is what makes it fast on TPU.  A ``while_loop``
+with a no-change early exit guarantees exactness.
+
+Ranking is (score desc, index asc) — identical tie behavior to
+score-sorted sequential NMS.
 """
 
 from __future__ import annotations
@@ -14,45 +24,72 @@ import jax
 import jax.numpy as jnp
 
 
-def _iou_xyxy(box, boxes):
-    x0 = jnp.maximum(box[0], boxes[:, 0])
-    y0 = jnp.maximum(box[1], boxes[:, 1])
-    x1 = jnp.minimum(box[2], boxes[:, 2])
-    y1 = jnp.minimum(box[3], boxes[:, 3])
+def _pairwise_iou_xyxy(boxes):
+    x0 = jnp.maximum(boxes[:, None, 0], boxes[None, :, 0])
+    y0 = jnp.maximum(boxes[:, None, 1], boxes[None, :, 1])
+    x1 = jnp.minimum(boxes[:, None, 2], boxes[None, :, 2])
+    y1 = jnp.minimum(boxes[:, None, 3], boxes[None, :, 3])
     inter = jnp.maximum(x1 - x0, 0) * jnp.maximum(y1 - y0, 0)
-    a1 = (box[2] - box[0]) * (box[3] - box[1])
-    a2 = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
-    union = a1 + a2 - inter
+    area = ((boxes[:, 2] - boxes[:, 0])
+            * (boxes[:, 3] - boxes[:, 1]))
+    union = area[:, None] + area[None, :] - inter
     return jnp.where(union > 0, inter / jnp.where(union > 0, union, 1.0),
                      0.0)
 
 
-@partial(jax.jit, static_argnames=("max_out",))
-def batched_nms(boxes, scores, iou_thr, max_out):
-    """Greedy NMS; returns ``[max_out]`` indices into ``boxes``,
-    ``-1`` for exhausted slots (callers mask with ``keep >= 0``)."""
+@jax.jit
+def nms_keep_mask(boxes, scores, iou_thr, valid=None):
+    """Exact greedy-NMS keep mask via fixpoint iteration.
 
-    def body(i, carry):
-        keep, alive = carry
-        masked = jnp.where(alive, scores, -jnp.inf)
-        best = jnp.argmax(masked)
-        any_alive = jnp.any(alive)
-        keep = keep.at[i].set(jnp.where(any_alive, best, -1))
-        ious = _iou_xyxy(boxes[best], boxes)
-        alive = alive & (ious <= iou_thr)
-        alive = alive.at[best].set(False)
-        return keep, alive
+    Args:
+      boxes: ``[N, 4]`` xyxy.
+      scores: ``[N]``; entries with ``valid=False`` never kept.
 
-    keep0 = jnp.zeros((max_out,), jnp.int32)
-    alive0 = scores > -jnp.inf
-    keep, _ = jax.lax.fori_loop(0, max_out, body, (keep0, alive0))
+    Returns ``[N]`` bool keep mask, identical to score-sorted
+    sequential greedy NMS.
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    iou = _pairwise_iou_xyxy(boxes)
+    idx = jnp.arange(n)
+    ranked_above = ((scores[:, None] > scores[None, :])
+                    | ((scores[:, None] == scores[None, :])
+                       & (idx[:, None] < idx[None, :])))
+    sup = (iou > iou_thr) & ranked_above & valid[:, None]
+
+    def cond(carry):
+        keep, prev, rounds = carry
+        return jnp.any(keep != prev) & (rounds < n)
+
+    def body(carry):
+        keep, _, rounds = carry
+        new_keep = valid & ~jnp.any(sup & keep[:, None], axis=0)
+        return new_keep, keep, rounds + 1
+
+    keep0 = valid
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (keep0, jnp.zeros_like(keep0), jnp.zeros((),
+                                                            jnp.int32)))
     return keep
 
 
 @partial(jax.jit, static_argnames=("max_out",))
-def class_aware_nms(boxes, scores, classes, iou_thr, max_out):
+def batched_nms(boxes, scores, iou_thr, max_out, valid=None):
+    """NMS returning the top-``max_out`` surviving indices by score;
+    ``-1`` marks exhausted slots."""
+    keep = nms_keep_mask(boxes, scores, iou_thr, valid=valid)
+    masked = jnp.where(keep, scores, -jnp.inf)
+    top_scores, top_idx = jax.lax.top_k(masked, max_out)
+    return jnp.where(top_scores > -jnp.inf, top_idx, -1)
+
+
+@partial(jax.jit, static_argnames=("max_out",))
+def class_aware_nms(boxes, scores, classes, iou_thr, max_out,
+                    valid=None):
     """Per-class NMS via the coordinate-offset trick: boxes of
-    different classes are translated far apart so one greedy pass
-    suppresses only within-class."""
+    different classes are translated far apart so one pass suppresses
+    only within-class."""
     offset = classes.astype(boxes.dtype)[:, None] * 1e5
-    return batched_nms(boxes + offset, scores, iou_thr, max_out)
+    return batched_nms(boxes + offset, scores, iou_thr, max_out,
+                       valid=valid)

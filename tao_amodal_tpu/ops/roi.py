@@ -45,7 +45,7 @@ def _axis_weights(lo, hi, n):
 
 @partial(jax.jit, static_argnames=("out_size",))
 def prroi_pool(features, rois, out_size=7, spatial_scale=1.0):
-    """Precise RoI pooling.
+    """Precise RoI pooling, batched over rois as two dense matmuls.
 
     Args:
       features: ``[H, W, C]`` feature map (single image).
@@ -56,28 +56,34 @@ def prroi_pool(features, rois, out_size=7, spatial_scale=1.0):
     Returns:
       ``[R, out_size, out_size, C]`` pooled features, differentiable in
       both ``features`` and ``rois``.
+
+    The whole roi batch is two einsums —
+    ``[R*out, H] x [H, W*C]`` then a batched ``[out, W] x [W, out*C]``
+    — so it runs on the MXU with zero gathers.
     """
     H, W, C = features.shape
-    rois = rois.astype(features.dtype) * spatial_scale
+    dt = jnp.float32
+    rois = rois.astype(dt) * spatial_scale
+    x0, y0, x1, y1 = (rois[:, i] for i in range(4))
+    bw = jnp.maximum((x1 - x0) / out_size, 1e-8)  # [R]
+    bh = jnp.maximum((y1 - y0) / out_size, 1e-8)
+    bins = jnp.arange(out_size, dtype=dt)
 
-    def pool_one(roi):
-        x0, y0, x1, y1 = roi
-        bw = jnp.maximum((x1 - x0) / out_size, 1e-8)
-        bh = jnp.maximum((y1 - y0) / out_size, 1e-8)
-        bins = jnp.arange(out_size, dtype=features.dtype)
-        # Per-bin per-axis hat integrals: [out, W] and [out, H].
-        wx = jax.vmap(lambda b: _axis_weights(x0 + b * bw,
-                                              x0 + (b + 1) * bw, W))(bins)
-        wy = jax.vmap(lambda b: _axis_weights(y0 + b * bh,
-                                              y0 + (b + 1) * bh, H))(bins)
-        # (out_h, H) x (H, W*C) -> then (out_w, W) contracting W.
-        tmp = jnp.einsum("yh,hwc->ywc", wy, features,
-                         preferred_element_type=jnp.float32)
-        out = jnp.einsum("xw,ywc->yxc", wx, tmp,
-                         preferred_element_type=jnp.float32)
-        return out / (bw * bh)
+    def axis_w(lo0, step, n):
+        # [R, out, n] hat integrals per bin.
+        lo = lo0[:, None] + bins[None, :] * step[:, None]  # [R, out]
+        hi = lo + step[:, None]
+        idx = jnp.arange(n, dtype=dt)[None, None, :]
+        return (_hat_antideriv(hi[..., None] - idx)
+                - _hat_antideriv(lo[..., None] - idx))
 
-    return jax.vmap(pool_one)(rois)
+    wx = axis_w(x0, bw, W).astype(features.dtype)  # [R, out, W]
+    wy = axis_w(y0, bh, H).astype(features.dtype)  # [R, out, H]
+    tmp = jnp.einsum("ryh,hwc->rywc", wy, features,
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("rxw,rywc->ryxc", wx, tmp,
+                     preferred_element_type=jnp.float32)
+    return out / (bw * bh)[:, None, None, None]
 
 
 def prroi_pool_batched(features, rois, roi_batch, out_size=7,
@@ -148,13 +154,15 @@ def roi_align(features, rois, out_size=7, spatial_scale=1.0,
 
 def multilevel_roi_align(pyramid, rois, canonical_level=2,
                          canonical_size=224.0, out_size=7,
-                         strides=(4, 8, 16, 32)):
-    """FPN-style level assignment + per-level RoIAlign.
+                         strides=(4, 8, 16, 32), method="prroi"):
+    """FPN-style level assignment + per-level RoI pooling.
 
-    TPU note: rather than scattering rois to ragged per-level lists
+    TPU notes: rather than scattering rois to ragged per-level lists
     (dynamic shapes), every roi is pooled AT EVERY level and a one-hot
-    level mask selects the result — 4x redundant FLOPs on tiny pooled
-    tensors in exchange for a single static-shape XLA program.
+    level mask selects the result — redundant FLOPs on tiny pooled
+    tensors in exchange for a single static-shape XLA program.  The
+    default pooling is the matmul-form PrRoI integral (MXU work, no
+    gathers); ``method='align'`` uses sampling RoIAlign instead.
     """
     areas = jnp.maximum((rois[:, 2] - rois[:, 0])
                         * (rois[:, 3] - rois[:, 1]), 1e-6)
@@ -162,7 +170,8 @@ def multilevel_roi_align(pyramid, rois, canonical_level=2,
                        + jnp.log2(jnp.sqrt(areas) / canonical_size + 1e-8))
     target = jnp.clip(target, 0, len(pyramid) - 1).astype(jnp.int32)
 
-    pooled = [roi_align(feat, rois, out_size, 1.0 / stride)
+    pool = prroi_pool if method == "prroi" else roi_align
+    pooled = [pool(feat, rois, out_size, 1.0 / stride)
               for feat, stride in zip(pyramid, strides)]
     stacked = jnp.stack(pooled, axis=0)  # [L, R, o, o, C]
     onehot = jax.nn.one_hot(target, len(pyramid), axis=0,

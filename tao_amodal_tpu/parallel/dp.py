@@ -1,0 +1,66 @@
+"""Data-parallel training step under jit + NamedSharding.
+
+Semantics-parity with the reference's hand-rolled DP
+(``pysot/utils/distributed.py``): parameter broadcast == replicated
+sharding at placement; per-parameter gradient all-reduce with
+averaging (``reduce_gradients(_type='avg')``, ``distributed.py:126``)
+== XLA's automatic reduce over the sharded batch axis of the loss
+mean; ``average_reduce`` of scalar metrics == returning sharded-mean
+scalars.  No process groups, no manual broadcasts, no degraded
+single-process fallback path — the same jitted function runs on 1 or N
+devices.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tao_amodal_tpu.parallel.mesh import data_sharding, replicated
+
+
+def make_train_step(loss_fn, optimizer, mesh, donate=True):
+    """Build a jitted data-parallel train step.
+
+    Args:
+      loss_fn: ``(params, batch, rng) -> (loss, aux)``; the batch's
+        leading axis is sharded over 'data'; loss must be a mean over
+        the batch (so XLA's cross-shard mean matches the reference's
+        averaged all-reduce).
+      optimizer: an optax GradientTransformation.
+
+    Returns ``step(state, batch, rng) -> (state, metrics)`` where
+    ``state = (params, opt_state)``.
+    """
+
+    def step(state, batch, rng):
+        params, opt_state = state
+        (loss, aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        import optax
+
+        params = optax.apply_updates(params, updates)
+        gnorm = optax.global_norm(grads)
+        metrics = {"loss": loss, "grad_norm": gnorm, **aux}
+        return (params, opt_state), metrics
+
+    rep = replicated(mesh)
+    dat = data_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=((rep, rep), dat, rep),
+        out_shardings=((rep, rep), rep),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(metric_fn, mesh):
+    """Jitted data-parallel eval step: batch sharded, outputs
+    replicated (cross-device means are XLA-inserted)."""
+    rep = replicated(mesh)
+    dat = data_sharding(mesh)
+    return jax.jit(metric_fn, in_shardings=(rep, dat),
+                   out_shardings=rep)

@@ -1,0 +1,117 @@
+"""Flagship pipeline: detect -> amodal-expand -> associate, on device.
+
+The end-to-end path the BASELINE.json north star measures
+(frames/sec/chip for detect+expand+track): a clip ``[T, H, W, 3]`` runs
+through the ClipDetector (one XLA graph), the AmodalExpander widens
+visible boxes to amodal ones, and SORT association runs as a
+``lax.scan`` over frames — zero host round-trips inside a clip.
+
+Outputs use the prediction-JSON contract (`README.md:107-116` of the
+reference): per-frame (bbox xywh, score, category, track_id), which
+:func:`detections_to_json` serializes for the evaluator CLI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tao_amodal_tpu.models.amodal_expander import AmodalExpander
+from tao_amodal_tpu.models.detector import ClipDetector
+from tao_amodal_tpu.trackers.sort import init_sort, sort_step
+
+
+class AmodalPipeline(NamedTuple):
+    detector: ClipDetector
+    expander: AmodalExpander
+
+    @staticmethod
+    def create(num_classes=80, num_dets=64, dtype=jnp.float32,
+               backbone_stages=(3, 4, 6, 3), num_proposals=128):
+        return AmodalPipeline(
+            detector=ClipDetector(num_classes=num_classes,
+                                  num_dets=num_dets, dtype=dtype,
+                                  num_proposals=num_proposals,
+                                  backbone_stages=backbone_stages),
+            expander=AmodalExpander(dtype=dtype),
+        )
+
+    def init(self, rng, clip):
+        r1, r2 = jax.random.split(rng)
+        det_vars = self.detector.init(r1, clip)
+        D = self.detector.num_dets
+        exp_vars = self.expander.init(
+            r2, jnp.zeros((D, 1024)), jnp.zeros((D, 4)),
+            image_hw=clip.shape[1:3])
+        return {"detector": det_vars, "expander": exp_vars}
+
+    def __call__(self, variables, clip, score_thr=0.05):
+        """Full clip -> tracked amodal detections (all on device)."""
+        det = self.detector.apply(variables["detector"], clip)
+        amodal, _ = self.expander.apply(
+            variables["expander"], det["roi_features"], det["boxes"],
+            image_hw=clip.shape[1:3])
+
+        det_valid = det["scores"] > score_thr
+        state = init_sort(max_tracks=2 * self.detector.num_dets)
+
+        def assoc(state, frame):
+            boxes, valid = frame
+            state, out = sort_step(state, boxes, valid)
+            return state, (out["det_track_id"], out["det_report"])
+
+        _, (track_ids, reported) = jax.lax.scan(
+            assoc, state, (amodal, det_valid))
+        return {
+            "boxes": amodal,                  # [T, D, 4] xyxy amodal
+            "visible_boxes": det["boxes"],    # [T, D, 4]
+            "scores": det["scores"],          # [T, D]
+            "classes": det["classes"],        # [T, D]
+            "track_ids": track_ids,           # [T, D]
+            "valid": det_valid & reported,    # [T, D]
+        }
+
+
+def detections_to_json(outputs, image_ids, video_id, class_id_map=None):
+    """Device outputs -> prediction-JSON records (host side).
+
+    Args:
+      outputs: dict from :class:`AmodalPipeline` (numpy-convertible).
+      image_ids: ``[T]`` dataset image ids for the clip frames.
+    """
+    boxes = np.asarray(outputs["boxes"])
+    scores = np.asarray(outputs["scores"])
+    classes = np.asarray(outputs["classes"])
+    tracks = np.asarray(outputs["track_ids"])
+    valid = np.asarray(outputs["valid"])
+    records = []
+    for t, img_id in enumerate(image_ids):
+        for d in np.nonzero(valid[t])[0]:
+            x0, y0, x1, y1 = boxes[t, d]
+            cat = int(classes[t, d])
+            if class_id_map is not None:
+                cat = class_id_map.get(cat, cat)
+            records.append({
+                "image_id": int(img_id),
+                "category_id": cat,
+                "bbox": [float(x0), float(y0), float(x1 - x0),
+                         float(y1 - y0)],
+                "score": float(scores[t, d]),
+                "track_id": int(tracks[t, d]),
+                "video_id": int(video_id),
+            })
+    return records
+
+
+def make_inference_fn(pipeline, variables, donate=False):
+    """Jitted clip-inference function (compile once per geometry)."""
+
+    @jax.jit
+    def run(clip):
+        return pipeline(variables, clip)
+
+    return run

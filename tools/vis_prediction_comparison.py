@@ -1,0 +1,10 @@
+#!/usr/bin/env python
+"""Side-by-side two-prediction comparison videos (reference
+vis_prediction_comparison.py CLI surface; pass --prediction and
+--prediction2)."""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+from tao_amodal_tpu.cli.vis_cli import main  # noqa: E402
+
+if __name__ == "__main__":
+    main(mode="comparison")
