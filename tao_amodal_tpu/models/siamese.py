@@ -45,12 +45,12 @@ class AdjustLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train=False):
+    def __call__(self, x, train=False, crop=False):
         x = nn.Conv(self.features, (1, 1), use_bias=False,
                     dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train,
                          dtype=self.dtype)(x)
-        if x.shape[1] < 20:  # template-sized input -> crop context
+        if crop:  # template branch: keep the central context
             x = _center_crop(x, self.crop_size)
         return x
 
@@ -149,11 +149,11 @@ class SiameseTracker(nn.Module):
         if self.with_mask:
             self.mask_head = MaskHead(dtype=self.dtype)
 
-    def extract(self, img, train=False):
+    def extract(self, img, train=False, is_template=False):
         feats = self.backbone(img, train=train)
         if not isinstance(feats, (list, tuple)):
             feats = [feats]
-        return [neck(f, train=train)
+        return [neck(f, train=train, crop=is_template)
                 for neck, f in zip(self.necks, feats)]
 
     def fuse(self, outs, weights):
@@ -163,9 +163,9 @@ class SiameseTracker(nn.Module):
     def __call__(self, template=None, search=None, zf=None, mode="track",
                  train=False):
         if mode == "template":
-            return self.extract(template, train=train)
+            return self.extract(template, train=train, is_template=True)
         if zf is None:
-            zf = self.extract(template, train=train)
+            zf = self.extract(template, train=train, is_template=True)
         xf = self.extract(search, train=train)
         cls_outs, loc_outs = [], []
         for head, z, x in zip(self.heads, zf, xf):

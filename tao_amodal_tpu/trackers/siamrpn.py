@@ -43,14 +43,19 @@ class SiamConfig(NamedTuple):
 
 
 def score_size(cfg: SiamConfig):
+    """Nominal response size (reference formula,
+    ``siamrpn_tracker.py:19-20``).  The tracker derives the REAL size
+    from the model with ``jax.eval_shape`` — our conv arithmetic
+    (SAME-padded stem) differs from torch's by a pixel or two."""
     return ((cfg.instance_size - cfg.exemplar_size) // cfg.stride + 1
             + cfg.base_size)
 
 
-def generate_anchors(cfg: SiamConfig):
+def generate_anchors(cfg: SiamConfig, ss=None):
     """Anchor grid ``[A*S*S, 4]`` as (cx, cy, w, h), matching reference
     ``generate_anchor`` (``siamrpn_tracker.py:29-45``)."""
-    ss = score_size(cfg)
+    if ss is None:
+        ss = score_size(cfg)
     anchors = []
     for r in cfg.ratios:
         for s in cfg.scales:
@@ -70,8 +75,9 @@ def generate_anchors(cfg: SiamConfig):
     return jnp.asarray(out.reshape(-1, 4))
 
 
-def hanning_window(cfg: SiamConfig):
-    ss = score_size(cfg)
+def hanning_window(cfg: SiamConfig, ss=None):
+    if ss is None:
+        ss = score_size(cfg)
     h = np.hanning(ss)
     win = np.outer(h, h).reshape(-1)
     return jnp.asarray(np.tile(win, len(cfg.ratios) * len(cfg.scales)),
@@ -127,12 +133,20 @@ def make_siamrpn_step(model, params, cfg: SiamConfig = SiamConfig()):
     ``model`` is a :class:`~tao_amodal_tpu.models.siamese.SiameseTracker`
     linen module; ``params`` its variables.
     """
-    anchors = generate_anchors(cfg)
-    window = hanning_window(cfg)
-
     def _apply(method_kwargs):
         return model.apply(params, **method_kwargs,
                            mutable=False)
+
+    # True response size from the model itself (conv-arithmetic-proof).
+    shape_out = jax.eval_shape(
+        lambda z, x: _apply(dict(template=z, search=x, mode="track")),
+        jax.ShapeDtypeStruct(
+            (1, cfg.exemplar_size, cfg.exemplar_size, 3), jnp.float32),
+        jax.ShapeDtypeStruct(
+            (1, cfg.instance_size, cfg.instance_size, 3), jnp.float32))
+    true_ss = shape_out["cls"].shape[1]
+    anchors = generate_anchors(cfg, ss=true_ss)
+    window = hanning_window(cfg, ss=true_ss)
 
     @jax.jit
     def init_fn(image, box_xywh):
@@ -163,7 +177,7 @@ def make_siamrpn_step(model, params, cfg: SiamConfig = SiamConfig()):
         out = _apply(dict(search=x_crop[None], zf=state.zf,
                           mode="track"))
 
-        ss = score_size(cfg)
+        ss = true_ss
         A = len(cfg.ratios) * len(cfg.scales)
         # cls [1, ss, ss, 2A] -> softmax fg prob per anchor, flattened
         # anchor-major to match the anchor layout.
@@ -173,12 +187,14 @@ def make_siamrpn_step(model, params, cfg: SiamConfig = SiamConfig()):
         loc = out["loc"][0].reshape(ss * ss, A, 4)
         loc = loc.transpose(1, 0, 2).reshape(-1, 4)
 
-        # Anchor decode (reference ``_convert_bbox``).
+        # Anchor decode (reference ``_convert_bbox``); the exp deltas
+        # are clamped for numerical safety (inf/NaN-proof with
+        # untrained heads; no effect on trained models).
         pred = jnp.stack([
             loc[:, 0] * anchors[:, 2] + anchors[:, 0],
             loc[:, 1] * anchors[:, 3] + anchors[:, 1],
-            jnp.exp(loc[:, 2]) * anchors[:, 2],
-            jnp.exp(loc[:, 3]) * anchors[:, 3],
+            jnp.exp(jnp.clip(loc[:, 2], -10.0, 10.0)) * anchors[:, 2],
+            jnp.exp(jnp.clip(loc[:, 3], -10.0, 10.0)) * anchors[:, 3],
         ], axis=0)  # [4, N]
 
         def change(r):
