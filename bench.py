@@ -25,6 +25,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache: repeated bench runs skip the (slow,
+    # tunnel-bound) TPU compile when the graph is unchanged.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from tao_amodal_tpu.pipeline import AmodalPipeline
 
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
@@ -37,26 +42,49 @@ def main():
         backbone_stages=(3, 4, 6, 3), dtype=dtype)
 
     rng = jax.random.PRNGKey(0)
-    clip = jnp.asarray(
-        np.random.RandomState(0).rand(T, H, W, 3).astype(np.float32))
-    variables = pipeline.init(rng, clip[:2])
+    # Several distinct clips, cycled, so no caching shortcut can skip
+    # real execution.
+    clips = [jnp.asarray(np.random.RandomState(i).rand(
+        T, H, W, 3).astype(np.float32)) for i in range(3)]
+    variables = pipeline.init(rng, clips[0][:2])
 
     @jax.jit
     def run(clip):
-        return pipeline(variables, clip)
+        out = pipeline(variables, clip)
+        # Scalar checksum chains the data dependency across iterations
+        # so one host fetch at the end forces every program to have
+        # truly executed (the remote TPU tunnel is deeply async:
+        # block_until_ready alone under-measures, and repeated
+        # identical inputs can be served from a replay cache).
+        return (out["scores"].sum()
+                + out["boxes"].sum().astype(jnp.float32))
 
-    # Compile + warm up.
-    out = run(clip)
-    jax.block_until_ready(out)
+    # Compile + warm up (forced by host fetch).
+    float(run(clips[0]))
 
-    iters = 10
-    start = time.perf_counter()
-    for _ in range(iters):
-        out = run(clip)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - start
+    iters = 12
 
-    frames_per_sec = iters * T / elapsed
+    @jax.jit
+    def tiny(x):
+        return x + 1.0
+
+    def roundtrip_baseline():
+        start = time.perf_counter()
+        float(tiny(jnp.zeros((), jnp.float32)))
+        return time.perf_counter() - start
+
+    def timed_block():
+        acc = jnp.zeros((), jnp.float32)
+        start = time.perf_counter()
+        for i in range(iters):
+            acc = acc + run(clips[i % 3])
+        float(acc)  # single sync point
+        return time.perf_counter() - start
+
+    float(tiny(jnp.zeros((), jnp.float32)))  # compile
+    roundtrip = min(roundtrip_baseline() for _ in range(3))
+    elapsed = sorted(timed_block() for _ in range(3))[1] - roundtrip
+    frames_per_sec = iters * T / max(elapsed, 1e-6)
     baseline = 2000.0  # BASELINE.json north-star target
     print(json.dumps({
         "metric": "frames/sec/chip (detect+expand+track, "

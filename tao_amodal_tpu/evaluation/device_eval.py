@@ -1,0 +1,146 @@
+"""Device-backed Track-mAP evaluation driver.
+
+Glue between the host dataset plumbing and the batched device kernels
+(:mod:`tao_amodal_tpu.evaluation.batched`): videos are packed into
+padded buckets, each bucket evaluates in ONE jitted call across all
+(category x area x time x threshold) cells, and accumulation reuses
+the host PR math on the device-produced match tensors.
+
+This is the TPU eval path for large sweeps (the host evaluator stays
+the float64 parity oracle; float32 IoU can flip exact-tie matches, so
+device metrics may differ in the last decimals).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import jax.numpy as jnp
+
+from tao_amodal_tpu.evaluation.batched import eval_video_device
+from tao_amodal_tpu.evaluation.params import TrackEvalParams
+from tao_amodal_tpu.evaluation.track_eval import TrackMapEvaluator
+from tao_amodal_tpu.ops.pr import pr_curves
+
+
+def _next_pow2(n, lo=8):
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+class DeviceTrackEval(TrackMapEvaluator):
+    """TrackMapEvaluator with the per-video cell math on device."""
+
+    def evaluate(self, show_progress=False):
+        del show_progress
+        p = self.params
+        p.vid_ids = list(np.unique(p.vid_ids))
+        cat_ids = p.cat_ids if p.use_cats else [-1]
+        gt_cells, dt_cells = self._grouped_tracks()
+
+        # Group cells per video and pack to padded buckets.
+        per_video = defaultdict(lambda: {"dt": [], "gt": []})
+        for (vid, cat), tracks in gt_cells.items():
+            per_video[vid]["gt"].extend(tracks)
+        for (vid, cat), tracks in dt_cells.items():
+            per_video[vid]["dt"].extend(tracks)
+
+        cat_arr = jnp.asarray(np.asarray(cat_ids, np.int32))
+        area_arr = jnp.asarray(np.asarray(p.area_rng, np.float32))
+        time_arr = jnp.asarray(np.asarray(p.time_rng, np.float32))
+        use_occ = jnp.asarray(
+            np.arange(len(p.area_rng)) == len(p.area_rng) - 1)
+        thrs = jnp.asarray(np.asarray(p.iou_thrs, np.float32))
+
+        self.eval_vids = {}
+        for v, vid_id in enumerate(p.vid_ids):
+            entry = per_video.get(vid_id)
+            if entry is None or (not entry["dt"] and not entry["gt"]):
+                for c in range(len(cat_ids)):
+                    for a in range(len(p.area_rng)):
+                        for t in range(len(p.time_rng)):
+                            self.eval_vids[v, c, a, t] = None
+                continue
+            dt_pack, gt_pack, frame_count = self._pack(vid_id, entry, p)
+            out = eval_video_device(dt_pack, gt_pack, cat_arr,
+                                    area_arr, time_arr, use_occ, thrs)
+            out = {k: np.asarray(val) for k, val in out.items()}
+
+            cat_present = {}
+            for c, cat in enumerate(cat_ids):
+                has = bool(out["cell_valid"][c, 0, 0])
+                cat_present[c] = has
+            for c in range(len(cat_ids)):
+                for a in range(len(p.area_rng)):
+                    for t in range(len(p.time_rng)):
+                        if not cat_present[c]:
+                            self.eval_vids[v, c, a, t] = None
+                            continue
+                        in_cell = out["dt_in_cell"][c, a, t]
+                        self.eval_vids[v, c, a, t] = {
+                            "dt_matches":
+                                out["dt_matches"][c, a, t][:, in_cell],
+                            "dt_ignore":
+                                out["dt_ignore"][c, a, t][:, in_cell],
+                            "dt_scores": out["dt_scores"][in_cell],
+                            "gt_ignore": out["gt_ignore"][c, a, t],
+                        }
+
+    def _pack(self, vid_id, entry, p):
+        frames = sorted({ann["image_id"] for side in ("dt", "gt")
+                         for tr in entry[side]
+                         for ann in tr["annotations"]})
+        fidx = {f: i for i, f in enumerate(frames)}
+        # Pow2 buckets on every axis -> one compile per bucket combo.
+        F = _next_pow2(max(len(frames), 1))
+        D = _next_pow2(len(entry["dt"]))
+        G = _next_pow2(len(entry["gt"]))
+
+        def base(n):
+            return {
+                "boxes": np.zeros((n, F, 4), np.float32),
+                "frame_valid": np.zeros((n, F), bool),
+                "cats": np.full((n,), -1, np.int32),
+                "areas": np.zeros((n,), np.float32),
+                "durs": np.zeros((n,), np.float32),
+                "exists": np.zeros((n,), bool),
+            }
+
+        dt = base(D)
+        dt["scores"] = np.full((D,), -np.inf, np.float32)
+        dt["nel"] = np.zeros((D,), bool)
+        for i, tr in enumerate(entry["dt"]):
+            for ann in tr["annotations"]:
+                f = fidx[ann["image_id"]]
+                dt["boxes"][i, f] = ann["bbox"]
+                dt["frame_valid"][i, f] = True
+            dt["cats"][i] = tr["category_id"]
+            dt["areas"][i] = tr["area"]
+            dt["durs"][i] = len(tr["annotations"])
+            dt["scores"][i] = tr["score"]
+            dt["nel"][i] = (tr["category_id"]
+                            in self.vid_nel[tr["video_id"]])
+            dt["exists"][i] = True
+
+        gt = base(G)
+        gt["hp_frames"] = np.zeros((G,), np.float32)
+        gt["ignore0"] = np.zeros((G,), np.float32)
+        for i, tr in enumerate(entry["gt"]):
+            for ann in tr["annotations"]:
+                f = fidx[ann["image_id"]]
+                gt["boxes"][i, f] = ann["bbox"]
+                gt["frame_valid"][i, f] = True
+            gt["cats"][i] = tr["category_id"]
+            gt["areas"][i] = tr["area"]
+            gt["durs"][i] = len(tr["annotations"])
+            gt["hp_frames"][i] = sum(
+                a["visibility"] < p.hp_visibility_thr
+                for a in tr["annotations"])
+            gt["ignore0"][i] = tr.get("ignore", 0)
+            gt["exists"][i] = True
+        return ({k: jnp.asarray(v) for k, v in dt.items()},
+                {k: jnp.asarray(v) for k, v in gt.items()},
+                F)

@@ -95,9 +95,11 @@ class ClipDetector(nn.Module):
             objs, deltas, anchors, image_hw,
             post_nms_topk=self.num_proposals)
 
+        # Pool from P3 up: the stride-4 level quadruples the pooling
+        # matmul cost for marginal small-object gain.
         pooled = multilevel_roi_align(
-            pyramid, props, out_size=7,
-            strides=self.strides[:len(pyramid)])
+            pyramid[1:], props, out_size=7, canonical_level=1,
+            strides=self.strides[1:len(pyramid)])
         logits, box_deltas, feats = self.box_head(pooled)
         probs = jax.nn.softmax(logits, axis=-1)[:, 1:]  # drop background
         boxes = decode_deltas(props, box_deltas)

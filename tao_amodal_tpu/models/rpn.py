@@ -102,7 +102,10 @@ def select_proposals(objs, deltas, anchors_per_level, image_hw,
     for obj, delta, anchors in zip(objs, deltas, anchors_per_level):
         scores = obj.reshape(-1)
         k = min(pre_nms_topk, scores.shape[0])
-        top_scores, idx = jax.lax.top_k(scores, k)
+        # approx_max_k: TPU-native partial sort, ~10x faster than exact
+        # top_k; recall ~0.95 with default params, fine for proposal
+        # pre-selection.
+        top_scores, idx = jax.lax.approx_max_k(scores, k)
         boxes = decode_deltas(anchors[idx],
                               delta.reshape(-1, 4)[idx])
         h, w = image_hw

@@ -1,0 +1,147 @@
+"""Fused frame preprocessing: resize -> letterbox pad -> normalize.
+
+The north-star preprocessing kernel (BASELINE.json: "fused Pallas
+decode->resize->pad->normalize kernel streaming clips into HBM"; host
+JPEG decode stays on CPU, everything after the pixels is device-side).
+
+Formulation: separable bilinear resize is two matmuls —
+``out = Wy @ img @ Wx^T`` with hat-function weight matrices — so the
+whole preprocess is MXU work.  The Pallas kernel fuses the uint8->f32
+conversion, both resize matmuls, the mean/std normalization, and the
+letterbox padding into one VMEM-resident pass per frame; the XLA
+reference implementation (:func:`preprocess_frames_xla`) computes the
+identical function for testing and CPU fallback.
+
+Layout note: channels are moved to the sublane axis (``[3, H, W]``) so
+the lane axis is the image width — matmul-friendly tiling.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _resize_weights(src, dst, scale):
+    """Bilinear weight matrix ``[dst, src]`` for half-pixel centers.
+
+    Matches ``jax.image.resize(method='linear')`` convention: output
+    pixel o samples source coordinate ``(o + 0.5) * src/dst / scale`` -
+    0.5 (letterbox ``scale`` <= 1 maps the image into the top-left
+    region; rows beyond ``dst*scale`` sample out of range and get zero
+    weight -> pad value).
+    """
+    o = np.arange(dst) + 0.5
+    src_coord = o / scale - 0.5
+    idx = np.arange(src)
+    w = np.maximum(0.0, 1.0 - np.abs(src_coord[:, None] - idx[None, :]))
+    # Edge handling: clamp (extend border pixels) for in-range rows.
+    in_range = (src_coord >= -0.5) & (src_coord <= src - 0.5)
+    row_sum = w.sum(axis=1, keepdims=True)
+    w = np.where(row_sum > 0, w / np.maximum(row_sum, 1e-8), 0.0)
+    w = w * in_range[:, None]
+    return w.astype(np.float32)
+
+
+def make_letterbox_weights(src_hw, dst, dtype=jnp.float32):
+    """(Wy [dst, H], Wx [dst, W], scale) for aspect-preserving
+    letterbox into a ``dst x dst`` square."""
+    H, W = src_hw
+    scale = min(dst / H, dst / W)
+    wy = _resize_weights(H, dst, scale)
+    wx = _resize_weights(W, dst, scale)
+    return jnp.asarray(wy, dtype), jnp.asarray(wx, dtype), scale
+
+
+def preprocess_frames_xla(frames, wy, wx, mean, std):
+    """Reference implementation: ``[T, H, W, 3] uint8`` ->
+    ``[T, S, S, 3] float32`` letterboxed + normalized."""
+    f = frames.astype(jnp.float32)
+    tmp = jnp.einsum("oh,thwc->towc", wy, f)
+    out = jnp.einsum("pw,towc->topc", wx, tmp)
+    return (out - mean) / std
+
+
+def _preproc_kernel(frame_ref, wy_ref, wx_ref, mean_ref, std_ref,
+                    out_ref):
+    """One frame, one channel per grid step: fused resize+normalize.
+
+    Blocks: frame ``[H, W]`` (one channel plane), wy ``[S, H]``,
+    wx ``[S, W]`` all VMEM-resident; two MXU dots; scalar mean/std from
+    SMEM.
+    """
+    f = frame_ref[0, 0].astype(jnp.float32)         # [H, W]
+    tmp = jnp.dot(wy_ref[:], f, preferred_element_type=jnp.float32)
+    out = jnp.dot(tmp, wx_ref[:].T, preferred_element_type=jnp.float32)
+    mean = mean_ref[0, 0, 0]
+    std = std_ref[0, 0, 0]
+    out_ref[0, 0] = (out - mean) / std
+
+
+@partial(jax.jit, static_argnames=("out_size",))
+def preprocess_frames_pallas(frames, wy, wx, mean, std, out_size=512):
+    """Pallas path: grid over (frame, channel); each program does the
+    fused per-plane resize+normalize with both matmuls on the MXU.
+
+    Args:
+      frames: ``[T, H, W, 3]`` uint8.
+      wy/wx: letterbox weight matrices ``[S, H]`` / ``[S, W]``.
+      mean/std: ``[3]`` per-channel normalization.
+
+    Returns ``[T, S, S, 3]`` float32.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, H, W, C = frames.shape
+    S = out_size
+    planes = frames.transpose(0, 3, 1, 2)  # [T, C, H, W]
+    mean2 = jnp.asarray(mean, jnp.float32).reshape(C, 1, 1)
+    std2 = jnp.asarray(std, jnp.float32).reshape(C, 1, 1)
+
+    out = pl.pallas_call(
+        _preproc_kernel,
+        out_shape=jax.ShapeDtypeStruct((T, C, S, S), jnp.float32),
+        grid=(T, C),
+        in_specs=[
+            pl.BlockSpec((1, 1, H, W), lambda t, c: (t, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, H), lambda t, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, W), lambda t, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda t, c: (c, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda t, c: (c, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, S, S), lambda t, c: (t, c, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(planes, wy, wx, mean2, std2)
+    return out.transpose(0, 2, 3, 1)
+
+
+def preprocess_clip(frames, out_size=512,
+                    mean=(123.675, 116.28, 103.53),
+                    std=(58.395, 57.12, 57.375), use_pallas=None):
+    """End-user API: uint8 clip -> normalized letterboxed tensor.
+
+    Returns (tensor ``[T, S, S, 3]``, scale) where ``scale`` maps
+    output coords back to source pixels.
+    """
+    frames = jnp.asarray(frames)
+    T, H, W, _ = frames.shape
+    wy, wx, scale = make_letterbox_weights((H, W), out_size)
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    if use_pallas is None:
+        use_pallas = any(d.platform == "tpu" for d in jax.devices())
+    if use_pallas:
+        out = preprocess_frames_pallas(frames, wy, wx, mean, std,
+                                       out_size=out_size)
+    else:
+        out = preprocess_frames_xla(frames, wy, wx, mean, std)
+    return out, scale

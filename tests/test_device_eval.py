@@ -1,0 +1,43 @@
+"""Device (float32, batched) Track-mAP vs the float64 host evaluator."""
+
+import json
+
+import numpy as np
+import pytest
+
+from fixture_gen import make_fixture
+
+from tao_amodal_tpu.data.results import make_track_ids_unique
+from tao_amodal_tpu.evaluation.device_eval import DeviceTrackEval
+from tao_amodal_tpu.evaluation.track_eval import TrackMapEvaluator
+
+
+@pytest.fixture(scope="module")
+def fixture_files(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("fixture_dev")
+    gt, preds = make_fixture(seed=4, num_videos=4, frames_per_video=16)
+    make_track_ids_unique(preds)
+    gt_path = tmp / "gt.json"
+    pred_path = tmp / "preds.json"
+    gt_path.write_text(json.dumps(gt))
+    pred_path.write_text(json.dumps(preds))
+    return str(gt_path), str(pred_path)
+
+
+def test_device_eval_matches_host(fixture_files):
+    gt_path, pred_path = fixture_files
+
+    host = TrackMapEvaluator(gt_path, pred_path)
+    host.run()
+    dev = DeviceTrackEval(gt_path, pred_path)
+    dev.run()
+
+    h = host.get_results()
+    d = dev.get_results()
+    assert list(h.keys()) == list(d.keys())
+    for key in h:
+        # float32 IoU on device can flip exact-tie matches; allow a
+        # tiny metric tolerance.
+        assert abs(h[key] - d[key]) < 2e-3, (key, h[key], d[key])
+    # Headline metrics are meaningful (nonzero) on this fixture.
+    assert h["AP50"] > 0.05
