@@ -49,10 +49,11 @@ class AmodalDetectionEvaluator:
 
         if isinstance(lvis_gt, LvisDataset):
             self.lvis_gt = lvis_gt
-        elif isinstance(lvis_gt, str):
+        elif isinstance(lvis_gt, (str, dict)):
             self.lvis_gt = LvisDataset(lvis_gt)
         else:
-            raise TypeError(f"Unsupported type {lvis_gt} of lvis_gt.")
+            raise TypeError(
+                f"Unsupported type {type(lvis_gt)} of lvis_gt.")
 
         if isinstance(lvis_dt, LvisResultsDataset):
             self.lvis_dt = lvis_dt

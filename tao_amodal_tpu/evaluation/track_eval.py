@@ -58,10 +58,11 @@ class TrackMapEvaluator:
 
         if isinstance(tao_gt, TaoDataset):
             self.tao_gt = tao_gt
-        elif isinstance(tao_gt, str):
+        elif isinstance(tao_gt, (str, dict)):
             self.tao_gt = TaoDataset(tao_gt)
         else:
-            raise TypeError(f"Unsupported type {tao_gt} of tao_gt.")
+            raise TypeError(
+                f"Unsupported type {type(tao_gt)} of tao_gt.")
 
         if isinstance(tao_dt, TaoResultsDataset):
             self.tao_dt = tao_dt
@@ -214,22 +215,62 @@ class TrackMapEvaluator:
     # Per-range matching
     # ------------------------------------------------------------------
 
-    def _match_cell(self, cell, area_rng, time_rng, use_occlusion):
-        """One (cell, area range, time range) match, all thresholds."""
-        p = self.params
-        lo, hi = area_rng
-        tlo, thi = time_rng
+    def _match_cell_ranges(self, cell):
+        """Match one cell across ALL (area, time) ranges at once.
 
-        ignore = (
-            (cell["gt_ignore0"] != 0)
-            | (cell["gt_area"] < lo) | (cell["gt_area"] > hi)
-            | (cell["gt_dur"] < tlo) | (cell["gt_dur"] > thi)
-        )
-        if use_occlusion:
-            # HP pseudo-range: need > 5 occluded frames
-            # (reference ``eval.py:358-368``).
-            ignore |= cell["gt_hp_frames"] <= (p.hp_min_frames - 1)
-        gt_ig = ignore.astype(np.float64)
+        The per-range inputs to the matcher are just two boolean
+        vectors (gt ignore, dt ignore-mask); they're computed for all
+        ranges in one broadcast, deduplicated (most ranges collapse to
+        the same signature), and each unique signature is matched once.
+        Returns ``{(a, t): result}``.
+        """
+        p = self.params
+        area = np.asarray(p.area_rng, np.float64)   # [A, 2]
+        time = np.asarray(p.time_rng, np.float64)   # [Tm, 2]
+        A, Tm = len(area), len(time)
+
+        g_area = cell["gt_area"]
+        g_dur = cell["gt_dur"]
+        gt_ig = ((cell["gt_ignore0"] != 0)[None, None, :]
+                 | (g_area[None, None, :] < area[:, None, 0:1])
+                 | (g_area[None, None, :] > area[:, None, 1:2])
+                 | (g_dur[None, None, :] < time[None, :, 0:1])
+                 | (g_dur[None, None, :] > time[None, :, 1:2]))
+        # HP pseudo-range (last area index) adds the occlusion gate.
+        gt_ig[A - 1] |= (cell["gt_hp_frames"]
+                         <= p.hp_min_frames - 1)[None, :]
+
+        d_area = cell["dt_area"]
+        d_dur = cell["dt_dur"]
+        dt_mask = ((d_area[None, None, :] < area[:, None, 0:1])
+                   | (d_area[None, None, :] > area[:, None, 1:2])
+                   | (d_dur[None, None, :] < time[None, :, 0:1])
+                   | (d_dur[None, None, :] > time[None, :, 1:2])
+                   | cell["dt_nel"][None, None, :])
+
+        G = gt_ig.shape[-1]
+        flat = np.concatenate(
+            [gt_ig.reshape(A * Tm, -1), dt_mask.reshape(A * Tm, -1)],
+            axis=1)
+        _, first_idx, inverse = np.unique(
+            flat, axis=0, return_index=True, return_inverse=True)
+        memo = {}
+        out = {}
+        for k, (a, t) in enumerate(
+                (a, t) for a in range(A) for t in range(Tm)):
+            sig = inverse[k]
+            if sig not in memo:
+                memo[sig] = self._match_cell_signed(
+                    cell, gt_ig[a, t], dt_mask[a, t])
+            out[a, t] = memo[sig]
+        return out
+
+    def _match_cell_signed(self, cell, gt_ignore, dt_ig_mask):
+        """One cell match for a precomputed ignore signature, all
+        thresholds (HP occlusion gate already folded into
+        ``gt_ignore`` — reference ``eval.py:358-368``)."""
+        p = self.params
+        gt_ig = gt_ignore.astype(np.float64)
 
         # gts sorted ignore-last (stable).
         order = np.argsort(gt_ig, kind="mergesort")
@@ -248,12 +289,8 @@ class TrackMapEvaluator:
             gt_m = np.full((T, len(gt_ids)), -1.0)
             dt_igm = np.zeros((T, num_dt))
 
-        dt_ig_mask = (
-            (cell["dt_area"] < lo) | (cell["dt_area"] > hi)
-            | (cell["dt_dur"] < tlo) | (cell["dt_dur"] > thi)
-            | cell["dt_nel"]
-        )[None, :]
-        dt_ig = np.logical_or(dt_igm, np.logical_and(dt_m == -1, dt_ig_mask))
+        dt_ig = np.logical_or(
+            dt_igm, np.logical_and(dt_m == -1, dt_ig_mask[None, :]))
 
         return {
             "dt_ids": cell["dt_ids"],
@@ -278,17 +315,20 @@ class TrackMapEvaluator:
         self._build_cells()
 
         n_area = len(p.area_rng)
+        n_time = len(p.time_rng)
         self.eval_vids = {}
-        for c, cat_id in enumerate(cat_ids):
-            for a, area_rng in enumerate(p.area_rng):
-                use_occ = a == n_area - 1
-                for t, time_rng in enumerate(p.time_rng):
-                    for v, vid_id in enumerate(p.vid_ids):
-                        cell = self._cells.get((vid_id, cat_id))
-                        self.eval_vids[v, c, a, t] = (
-                            self._match_cell(cell, area_rng, time_rng,
-                                             use_occ)
-                            if cell is not None else None)
+        for v, vid_id in enumerate(p.vid_ids):
+            for c, cat_id in enumerate(cat_ids):
+                cell = self._cells.get((vid_id, cat_id))
+                if cell is None:
+                    for a in range(n_area):
+                        for t in range(n_time):
+                            self.eval_vids[v, c, a, t] = None
+                    continue
+                results = self._match_cell_ranges(cell)
+                for a in range(n_area):
+                    for t in range(n_time):
+                        self.eval_vids[v, c, a, t] = results[a, t]
 
     # ------------------------------------------------------------------
     # Accumulation + summary

@@ -74,7 +74,13 @@ def greedy_match(ious, gt_ig, dt_ids, gt_ids, iou_thrs, unmatched=-1.0):
 
     thr = np.minimum(iou_thrs, _EPS_CAP)[:, None]  # [T,1]
     is_real = (gt_ig == 0)[None, :]                # [1,G]
+    # Detections that cannot clear the lowest threshold never match at
+    # any threshold; skip them wholesale (big win on sparse matrices).
+    row_max = ious.max(axis=1)
+    thr_min = thr.min()
     for d in range(D):
+        if row_max[d] < thr_min:
+            continue
         row = ious[d][None, :]                     # [1,G]
         avail = ~(gt_m > 0)                        # [T,G]  (the ``> 0`` quirk)
         cand = avail & (row >= thr)                # [T,G]
