@@ -1,0 +1,128 @@
+"""Inference CLI: video frames -> tracked amodal prediction JSON.
+
+Closes the loop the reference delegates to its companion repos
+(GTR detector + Amodal-Expander inference producing
+``lvis_instances_results.json``, reference ``README.md:99-116``): run
+the flagship pipeline (detector -> expander -> SORT) over a dataset's
+videos and write the prediction JSON the evaluator consumes.
+
+Frames load from ``--images_dir`` per the TAO layout
+(``frames/<video_name>/<file_name>``); missing frames fall back to
+synthetic gray so the pipeline remains exercisable end-to-end without
+the dataset.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def load_clip(images, images_dir, size_hw):
+    from PIL import Image
+
+    frames = []
+    for im in images:
+        path = (os.path.join(images_dir, im["file_name"])
+                if images_dir else None)
+        if path and os.path.exists(path):
+            frames.append(np.asarray(
+                Image.open(path).convert("RGB")))
+        else:
+            frames.append(np.full((*size_hw, 3), 128, np.uint8))
+    return np.stack(frames)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--annotation", required=True,
+                   help="TAO-Amodal annotation JSON (for video/frame "
+                        "ids)")
+    p.add_argument("--images_dir", default=None)
+    p.add_argument("--output", required=True,
+                   help="prediction JSON path "
+                        "(lvis_instances_results.json)")
+    p.add_argument("--checkpoint", default=None,
+                   help="npz pytree of pipeline variables")
+    p.add_argument("--input_size", type=int, default=512)
+    p.add_argument("--clip_len", type=int, default=16)
+    p.add_argument("--score_threshold", type=float, default=0.05)
+    p.add_argument("--num_videos", type=int, default=None)
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    import jax
+    import jax.numpy as jnp
+
+    from tao_amodal_tpu.data.tao import TaoDataset
+    from tao_amodal_tpu.ops.pallas.preproc import preprocess_clip
+    from tao_amodal_tpu.pipeline import (
+        AmodalPipeline,
+        detections_to_json,
+    )
+
+    dataset = TaoDataset(args.annotation)
+    # Detector class index i <-> i-th dataset category id.
+    cat_ids = sorted(dataset.cats.keys())
+    class_id_map = dict(enumerate(cat_ids))
+    pipeline = AmodalPipeline.create(num_classes=len(cat_ids))
+    S, T = args.input_size, args.clip_len
+
+    if args.checkpoint:
+        from tao_amodal_tpu.utils.checkpoint import load_pytree
+
+        variables = load_pytree(args.checkpoint)
+    else:
+        logger.warning("no checkpoint given: random weights "
+                       "(pipeline smoke mode)")
+        variables = pipeline.init(
+            jax.random.PRNGKey(0), jnp.zeros((2, S, S, 3)))
+
+    @jax.jit
+    def run(clip):
+        return pipeline(variables, clip,
+                        score_thr=args.score_threshold)
+
+    records = []
+    vids = sorted(dataset.vids.values(), key=lambda v: v["id"])
+    if args.num_videos:
+        vids = vids[:args.num_videos]
+    for video in vids:
+        images = sorted(dataset.vid_img_map[video["id"]],
+                        key=lambda im: im["frame_index"])
+        scale = min(S / video["height"], S / video["width"])
+        for start in range(0, len(images), T):
+            chunk = images[start:start + T]
+            pad = T - len(chunk)
+            raw = load_clip(chunk, args.images_dir,
+                            (video["height"], video["width"]))
+            clip, _ = preprocess_clip(
+                raw, out_size=S, mean=(0, 0, 0), std=(1, 1, 1))
+            if pad:
+                clip = jnp.concatenate(
+                    [clip, jnp.zeros((pad, S, S, 3))])
+            out = jax.tree_util.tree_map(np.asarray, run(clip))
+            # Undo the letterbox scale back to source pixels.
+            out["boxes"] = out["boxes"] / scale
+            recs = detections_to_json(
+                out, [im["id"] for im in chunk] + [-1] * pad,
+                video["id"], class_id_map=class_id_map)
+            records.extend(r for r in recs if r["image_id"] != -1)
+        logger.info("video %s: %d records so far", video["name"],
+                    len(records))
+
+    with open(args.output, "w") as f:
+        json.dump(records, f)
+    logger.info("wrote %d predictions to %s", len(records),
+                args.output)
+    return records
+
+
+if __name__ == "__main__":
+    main()

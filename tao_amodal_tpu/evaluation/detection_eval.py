@@ -177,25 +177,34 @@ class AmodalDetectionEvaluator:
 
         n_vis = len(p.visibility_rng)
         self.eval_imgs = {}
-        for c, cat_id in enumerate(cat_ids):
-            for a, vis_rng in enumerate(p.visibility_rng):
-                use_oof = a == n_vis - 1
-                for i, img_id in enumerate(p.img_ids):
-                    cell = self._cells.get((img_id, cat_id))
-                    self.eval_imgs[c, a, i] = (
-                        self._match_cell(cell, vis_rng, use_oof)
-                        if cell is not None else None)
+        for i, img_id in enumerate(p.img_ids):
+            for c, cat_id in enumerate(cat_ids):
+                cell = self._cells.get((img_id, cat_id))
+                if cell is None:
+                    for a in range(n_vis):
+                        self.eval_imgs[c, a, i] = None
+                    continue
+                # Visibility ranges often produce identical ignore
+                # vectors for a cell -> match once per signature.
+                memo = {}
+                for a, vis_rng in enumerate(p.visibility_rng):
+                    use_oof = a == n_vis - 1
+                    if not use_oof:
+                        ignore = (
+                            (cell["gt_ignore0"] != 0)
+                            | (cell["gt_vis"] < vis_rng[0])
+                            | (cell["gt_vis"] > vis_rng[1]))
+                    else:
+                        ignore = ((cell["gt_ignore0"] != 0)
+                                  | ~cell["gt_oof"])
+                    key = ignore.tobytes()
+                    if key not in memo:
+                        memo[key] = self._match_cell_signed(cell,
+                                                            ignore)
+                    self.eval_imgs[c, a, i] = memo[key]
 
-    def _match_cell(self, cell, vis_rng, use_oof):
+    def _match_cell_signed(self, cell, ignore):
         p = self.params
-        if not use_oof:
-            ignore = (
-                (cell["gt_ignore0"] != 0)
-                | (cell["gt_vis"] < vis_rng[0])
-                | (cell["gt_vis"] > vis_rng[1])
-            )
-        else:
-            ignore = (cell["gt_ignore0"] != 0) | ~cell["gt_oof"]
         gt_ig = ignore.astype(np.float64)
 
         order = np.argsort(gt_ig, kind="mergesort")

@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from tao_amodal_tpu.models.backbones import resnet50
@@ -113,6 +114,45 @@ class MaskHead(nn.Module):
         mask = nn.Conv(self.mask_size * self.mask_size, (1, 1),
                        dtype=self.dtype)(x)
         return mask, corr
+
+
+class RefineHead(nn.Module):
+    """SiamMask refine module: upsample the selected location's mask
+    embedding through skip connections from shallow search features
+    (capability of reference ``pysot/models/head/mask.py`` Refine).
+
+    The reference indexes one spatial position (``mask_refine(pos)``);
+    here the position is a traced index so refinement stays inside
+    jit.
+    """
+
+    out_size: int = 127
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, corr_feature, pos_yx):
+        """corr_feature ``[B, H, W, C]``; pos_yx ``[B, 2]`` int."""
+        B, H, W, C = corr_feature.shape
+        idx = pos_yx[:, 0] * W + pos_yx[:, 1]
+        flat = corr_feature.reshape(B, H * W, C)
+        picked = jnp.take_along_axis(
+            flat, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+        x = picked[:, None, None, :]  # [B, 1, 1, C]
+        size = 1
+        feats = C
+        while size < self.out_size:
+            size = min(size * 4, self.out_size + 1)
+            feats = max(feats // 2, 16)
+            x = jax.image.resize(
+                x, (B, size, size, x.shape[-1]), method="nearest")
+            x = nn.Conv(feats, (3, 3), padding="SAME",
+                        dtype=self.dtype)(x)
+            x = nn.relu(x)
+        logits = nn.Conv(1, (3, 3), padding="SAME",
+                         dtype=self.dtype)(x)
+        return jax.image.resize(
+            logits, (B, self.out_size, self.out_size, 1),
+            method="linear")[..., 0]
 
 
 class SiameseTracker(nn.Module):
