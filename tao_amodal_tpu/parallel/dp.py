@@ -13,10 +13,8 @@ devices.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
-from jax.sharding import NamedSharding, PartitionSpec as P
+import optax
 
 from tao_amodal_tpu.parallel.mesh import data_sharding, replicated
 
@@ -40,8 +38,6 @@ def make_train_step(loss_fn, optimizer, mesh, donate=True):
         (loss, aux), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, batch, rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)
-        import optax
-
         params = optax.apply_updates(params, updates)
         gnorm = optax.global_norm(grads)
         metrics = {"loss": loss, "grad_norm": gnorm, **aux}

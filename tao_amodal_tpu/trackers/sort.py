@@ -161,8 +161,6 @@ def sort_step(state: SortState, det_boxes, det_valid, max_age=1,
     track_id = state.track_id.at[spawn_slot].set(
         jnp.where(can_spawn, new_ids, 0), mode="drop")
     zero = jnp.zeros((), jnp.int32)
-    for name, val in (("hits", 1), ("hit_streak", 1), ("age", 0)):
-        pass  # handled below explicitly
     hits = hits.at[spawn_slot].set(jnp.where(can_spawn, 1, 0),
                                    mode="drop")
     hit_streak = hit_streak.at[spawn_slot].set(
