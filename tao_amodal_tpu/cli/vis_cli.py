@@ -87,10 +87,35 @@ def _load_frame(images_dir, file_name, wh):
     return np.full((h, w, 3), 128, np.uint8)
 
 
-def select_videos(dataset, args):
+def occlusion_score(dataset, video_id):
+    """Mean occludedness of a video's annotations: 1 - visibility when
+    the amodal field carries it, else 1 - IoU(modal, amodal)
+    (capability of reference ``visualization/utils.py:139-212``
+    ``select_video``)."""
+    from tao_amodal_tpu.ops.boxes import box_iou_matrix
+
+    scores = []
+    for im in dataset.vid_img_map[video_id]:
+        for ann in dataset.img_ann_map[im["id"]]:
+            if "visibility" in ann:
+                scores.append(1.0 - float(ann["visibility"]))
+            elif "modal_bbox" in ann:
+                iou = np.asarray(box_iou_matrix(
+                    np.asarray([ann["modal_bbox"]], np.float64),
+                    np.asarray([ann["bbox"]], np.float64), xp=np))
+                scores.append(1.0 - float(iou[0, 0]))
+    return float(np.mean(scores)) if scores else 0.0
+
+
+def select_videos(dataset, args, mode="random"):
     names = sorted({v["name"] for v in dataset.vids.values()})
     if args.video_name:
         return [args.video_name]
+    if mode == "occlusion":
+        ranked = sorted(
+            dataset.vids.values(),
+            key=lambda v: -occlusion_score(dataset, v["id"]))
+        return [v["name"] for v in ranked[:args.num_videos]]
     rng = np.random.RandomState(args.seed)
     k = min(args.num_videos, len(names))
     return list(rng.choice(names, size=k, replace=False))
