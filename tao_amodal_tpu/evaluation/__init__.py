@@ -15,6 +15,15 @@ from tao_amodal_tpu.evaluation.detection_eval import (  # noqa: F401
     AmodalDetectionEvaluator,
 )
 
+
+def __getattr__(name):  # lazy: avoids importing jax for host-only use
+    if name == "DeviceTrackEval":
+        from tao_amodal_tpu.evaluation.device_eval import DeviceTrackEval
+
+        return DeviceTrackEval
+    raise AttributeError(name)
+
+
 # Reference-compatible aliases.
 TaoEval = TrackMapEvaluator
 LVISEval = AmodalDetectionEvaluator

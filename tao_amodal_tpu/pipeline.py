@@ -107,7 +107,7 @@ def detections_to_json(outputs, image_ids, video_id, class_id_map=None):
     return records
 
 
-def make_inference_fn(pipeline, variables, donate=False):
+def make_inference_fn(pipeline, variables):
     """Jitted clip-inference function (compile once per geometry)."""
 
     @jax.jit
@@ -115,3 +115,24 @@ def make_inference_fn(pipeline, variables, donate=False):
         return pipeline(variables, clip)
 
     return run
+
+
+def make_sharded_inference(pipeline, variables, mesh):
+    """Pod-scale inference: a batch of clips ``[B, T, H, W, 3]`` with B
+    sharded over the mesh's 'data' axis — each chip runs its clips'
+    full detect+expand+associate locally (videos are independent, so
+    scaling is embarrassingly parallel over ICI with zero collectives;
+    this is the v5e-8 deployment shape of the BASELINE north star).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    clip_sharding = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+
+    @partial(jax.jit,
+             in_shardings=(rep, clip_sharding),
+             out_shardings=clip_sharding)
+    def run(variables, clips):
+        return jax.vmap(lambda c: pipeline(variables, c))(clips)
+
+    return lambda clips: run(variables, clips)
