@@ -40,6 +40,109 @@ def run_dataset(tracker, dataset, result_dir, tracker_name="tracker"):
     return {"mean_fps": float(np.mean(fps_all)) if fps_all else 0.0}
 
 
+def run_vot_protocol(tracker, dataset, result_dir,
+                     tracker_name="tracker", burnin=5,
+                     skip_after_failure=5, fail_overlap=0.0):
+    """VOT restart protocol (capability of reference
+    ``pysot/tools/test.py:62-110``): per frame compare to gt overlap;
+    on failure (overlap == ``fail_overlap``), record a failure marker
+    and re-initialize ``skip_after_failure`` frames later.
+
+    Writes VOT-style trajectories: ``[1]`` init marker, boxes, ``[2]``
+    failure markers, ``[0]`` skipped frames.  Returns accuracy /
+    robustness per sequence.
+    """
+    import numpy as np
+
+    from tao_amodal_tpu.evaluation.sot_benchmarks import (
+        calculate_accuracy,
+        calculate_failures,
+        overlap_ratio,
+    )
+
+    out_dir = os.path.join(result_dir, tracker_name, "baseline")
+    os.makedirs(out_dir, exist_ok=True)
+    summary = {}
+    for seq in dataset:
+        traj = []
+        f = 0
+        T = len(seq.frames)
+        from PIL import Image
+
+        def frame(i):
+            return np.asarray(Image.open(seq.frames[i]).convert("RGB"))
+
+        while f < T:
+            tracker.init(frame(f), seq.gt_boxes[f])
+            traj.append([1.0])
+            f += 1
+            while f < T:
+                box, score = tracker.update(frame(f))
+                ov = float(overlap_ratio(
+                    np.asarray([seq.gt_boxes[f]]),
+                    np.asarray([box]))[0])
+                if ov <= fail_overlap:
+                    traj.append([2.0])
+                    for _ in range(skip_after_failure - 1):
+                        f += 1
+                        if f < T:
+                            traj.append([0.0])
+                    f += 1
+                    break
+                traj.append(list(map(float, box)))
+                f += 1
+        acc, n = calculate_accuracy(traj, seq.gt_boxes, burnin=burnin)
+        fails, _ = calculate_failures(traj)
+        summary[seq.name] = {"accuracy": acc, "failures": fails}
+        with open(os.path.join(out_dir, f"{seq.name}_001.txt"),
+                  "w") as fh:
+            for entry in traj:
+                fh.write(",".join(f"{v:.4f}" for v in entry) + "\n")
+        logger.info("%s: acc %.3f, %d failures", seq.name, acc, fails)
+    return summary
+
+
+def track_video(tracker, video_path, init_box, output_path=None):
+    """Track one video file (capability of reference
+    ``pytracking/evaluation/tracker.py::run_video``)."""
+    import cv2
+    import numpy as np
+
+    cap = cv2.VideoCapture(video_path)
+    boxes = []
+    writer_ctx = None
+    try:
+        first = True
+        while True:
+            ok, frame_bgr = cap.read()
+            if not ok:
+                break
+            frame = frame_bgr[:, :, ::-1]
+            if first:
+                tracker.init(frame, init_box)
+                box = np.asarray(init_box, float)
+                first = False
+            else:
+                box, _ = tracker.update(frame)
+            boxes.append(np.asarray(box))
+            if output_path and writer_ctx is None:
+                from tao_amodal_tpu.utils.video import video_writer
+
+                writer_ctx = video_writer(
+                    output_path, fps=cap.get(cv2.CAP_PROP_FPS) or 30,
+                    size_wh=(frame.shape[1], frame.shape[0]))
+                writer = writer_ctx.__enter__()
+            if output_path:
+                from tao_amodal_tpu.utils.vis import vis_bbox
+
+                writer.write_frame(vis_bbox(frame.copy(), box))
+    finally:
+        cap.release()
+        if writer_ctx is not None:
+            writer_ctx.__exit__(None, None, None)
+    return np.stack(boxes) if boxes else np.zeros((0, 4))
+
+
 def load_results(dataset, result_dir, tracker_names):
     """Pack written trajectories into the OPE benchmark input."""
     packed = {}

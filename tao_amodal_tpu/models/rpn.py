@@ -116,6 +116,8 @@ def select_proposals(objs, deltas, anchors_per_level, image_hw,
         all_boxes.append(boxes)
         all_scores.append(top_scores)
     boxes = jnp.concatenate(all_boxes)
-    scores = jax.nn.sigmoid(jnp.concatenate(all_scores))
-    keep = batched_nms(boxes, scores, nms_thr, post_nms_topk)
+    scores = jax.nn.sigmoid(jnp.concatenate(all_scores)
+                            .astype(jnp.float32))
+    keep = batched_nms(boxes.astype(jnp.float32), scores, nms_thr,
+                       post_nms_topk)
     return boxes[keep], jnp.where(keep >= 0, scores[keep], 0.0)

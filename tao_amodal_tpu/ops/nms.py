@@ -42,7 +42,10 @@ def nms_keep_mask(boxes, scores, iou_thr, valid=None):
     """Exact greedy-NMS keep mask via fixpoint iteration.
 
     Args:
-      boxes: ``[N, 4]`` xyxy.
+      boxes: ``[N, 4]`` xyxy.  The pairwise IoU matrix inherits the
+        boxes' dtype — pass bf16 boxes to halve the [N, N] HBM traffic
+        (suppression thresholds tolerate bf16; keep f32 where exact
+        tie behavior matters).
       scores: ``[N]``; entries with ``valid=False`` never kept.
 
     Returns ``[N]`` bool keep mask, identical to score-sorted
