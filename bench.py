@@ -38,7 +38,7 @@ def main():
     T, H, W = 16, 512, 512
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     pipeline = AmodalPipeline.create(
-        num_classes=80, num_dets=64, num_proposals=256,
+        num_classes=80, num_dets=64, num_proposals=128,
         backbone_stages=(3, 4, 6, 3), dtype=dtype)
 
     rng = jax.random.PRNGKey(0)

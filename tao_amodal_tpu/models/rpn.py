@@ -87,7 +87,7 @@ class RPNHead(nn.Module):
 
 
 def select_proposals(objs, deltas, anchors_per_level, image_hw,
-                     pre_nms_topk=300, post_nms_topk=256, nms_thr=0.7):
+                     pre_nms_topk=150, post_nms_topk=256, nms_thr=0.7):
     """Batched proposal selection for ONE image, static shapes.
 
     Args:
