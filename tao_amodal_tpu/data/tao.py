@@ -22,6 +22,13 @@ from collections import defaultdict
 import numpy as np
 
 
+def _grouped(items, key):
+    out = defaultdict(list)
+    for item in items:
+        out[item[key]].append(item)
+    return out
+
+
 class TaoDataset:
     """Index over a TAO-Amodal annotation JSON."""
 
@@ -66,45 +73,47 @@ class TaoDataset:
     def _create_index(self):
         self.logger.info("Creating index.")
         self.merge_categories = self._construct_merge_map(self.dataset)
-        for x in self.dataset["annotations"] + self.dataset["tracks"]:
-            if x["category_id"] in self.merge_categories:
-                x["category_id"] = self.merge_categories[x["category_id"]]
+        if self.merge_categories:
+            remap = self.merge_categories
+            for x in self.dataset["annotations"]:
+                x["category_id"] = remap.get(x["category_id"],
+                                             x["category_id"])
+            for x in self.dataset["tracks"]:
+                x["category_id"] = remap.get(x["category_id"],
+                                             x["category_id"])
 
-        self.vids = {x["id"]: x for x in self.dataset["videos"]}
-        self.tracks = {x["id"]: x for x in self.dataset["tracks"]}
-        self.cats = {x["id"]: x for x in self.dataset["categories"]}
+        self.vids = {v["id"]: v for v in self.dataset["videos"]}
+        self.tracks = {t["id"]: t for t in self.dataset["tracks"]}
+        self.cats = {c["id"]: c for c in self.dataset["categories"]}
+        self.imgs = {im["id"]: im for im in self.dataset["images"]}
 
-        self.imgs = {}
-        self.vid_img_map = defaultdict(list)
-        for image in self.dataset["images"]:
-            self.imgs[image["id"]] = image
-            self.vid_img_map[image["video_id"]].append(image)
+        # Grouped views.
+        self.vid_img_map = _grouped(self.dataset["images"], "video_id")
+        self.vid_track_map = _grouped(self.dataset["tracks"],
+                                      "video_id")
 
-        self.vid_track_map = defaultdict(list)
-        for track in self.tracks.values():
-            self.vid_track_map[track["video_id"]].append(track)
-
-        self.anns = {}
-        self.img_ann_map = defaultdict(list)
+        anns = self.dataset["annotations"]
+        track_cat = {t["id"]: t["category_id"]
+                     for t in self.dataset["tracks"]}
+        bad_coords = []
+        for ann in anns:
+            box = [float(v) for v in ann["bbox"]]
+            ann["bbox"] = box
+            if min(box[0], box[1]) < 0 or box[2] <= 0 or box[3] <= 0:
+                bad_coords.append(ann["id"])
+            # category_id is denormalized from the track; keep them in
+            # agreement (same invariant the reference asserts).
+            assert "category_id" in ann, ann
+            assert ann["category_id"] == track_cat[ann["track_id"]]
+        self.anns = {a["id"]: a for a in anns}
+        self.img_ann_map = _grouped(anns, "image_id")
+        self.track_ann_map = _grouped(anns, "track_id")
         self.cat_img_map = defaultdict(list)
-        self.track_ann_map = defaultdict(list)
-        negative_anns = []
-        for ann in self.dataset["annotations"]:
-            ann["bbox"] = [float(x) for x in ann["bbox"]]
-            if (ann["bbox"][0] < 0 or ann["bbox"][1] < 0
-                    or ann["bbox"][2] <= 0 or ann["bbox"][3] <= 0):
-                negative_anns.append(ann["id"])
-            assert "category_id" in ann, (
-                f"Category id missing in annotation: {ann}")
-            assert (ann["category_id"]
-                    == self.tracks[ann["track_id"]]["category_id"])
-            self.track_ann_map[ann["track_id"]].append(ann)
-            self.img_ann_map[ann["image_id"]].append(ann)
-            self.cat_img_map[ann["category_id"]].append(ann["image_id"])
-            self.anns[ann["id"]] = ann
-        if negative_anns:
+        for a in anns:
+            self.cat_img_map[a["category_id"]].append(a["image_id"])
+        if bad_coords:
             self.logger.warning(
-                f"{len(negative_anns)} annotations had negative values in "
+                f"{len(bad_coords)} annotations had negative values in "
                 f"coordinates!")
         self.logger.info("Index created.")
 
