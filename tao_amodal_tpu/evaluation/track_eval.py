@@ -155,6 +155,20 @@ class TrackMapEvaluator:
         p = self.params
         gt_cells, dt_cells = self._grouped_tracks()
         cat_ids = p.cat_ids if p.use_cats else [-1]
+        if not p.use_cats:
+            # Category-agnostic mode: merge every category into one
+            # pseudo-cell per video (reference ``_get_gt_dt`` else
+            # branch, eval.py:293-304).
+            def merge(cells):
+                merged = defaultdict(list)
+                vids = {vid for vid, _ in cells}
+                for vid in vids:
+                    for cat in p.cat_ids:  # reference cat order
+                        merged[vid, -1].extend(cells.get((vid, cat),
+                                                         ()))
+                return merged
+
+            gt_cells, dt_cells = merge(gt_cells), merge(dt_cells)
 
         # Per-video frame index over images annotated in either side.
         vid_frames = defaultdict(set)

@@ -102,3 +102,18 @@ def test_make_track_ids_unique_matches_reference():
     for a, b in zip(preds, ours):
         assert a["video_id"] == b["video_id"]
         assert a["bbox"] == b["bbox"]
+
+
+def test_track_map_parity_use_cats_0(fixture_files):
+    """Category-agnostic mode (params.use_cats = 0)."""
+    gt_path, pred_path, _, _ = fixture_files
+    ref_tao, _ = load_reference()
+
+    ref_eval = ref_tao.TaoEval(ref_tao.Tao(gt_path),
+                               json.load(open(pred_path)))
+    ref_eval.params.use_cats = 0
+    ref_eval.run()
+    ours = TrackMapEvaluator(gt_path, pred_path)
+    ours.params.use_cats = 0
+    ours.run()
+    _compare_results(ref_eval.get_results(), ours.get_results())
