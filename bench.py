@@ -39,7 +39,8 @@ def main():
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     pipeline = AmodalPipeline.create(
         num_classes=80, num_dets=64, num_proposals=128,
-        backbone_stages=(3, 4, 6, 3), dtype=dtype)
+        backbone_stages=(3, 4, 6, 3), dtype=dtype,
+        pallas_pooling=False)
 
     rng = jax.random.PRNGKey(0)
     # Several distinct clips, cycled, so no caching shortcut can skip

@@ -67,6 +67,9 @@ class ClipDetector(nn.Module):
     anchor_ratios: Sequence[float] = (0.5, 1.0, 2.0)
     strides: Sequence[int] = (4, 8, 16, 32, 64)
     backbone_stages: Sequence[int] = (3, 4, 6, 3)  # ResNet-50
+    # Pallas RoI pooling: forward-only fused kernel (~50x the XLA
+    # einsum form on TPU); leave False for training (autodiff) or CPU.
+    pallas_pooling: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -99,7 +102,8 @@ class ClipDetector(nn.Module):
         # matmul cost for marginal small-object gain.
         pooled = multilevel_roi_align(
             pyramid[1:], props, out_size=7, canonical_level=1,
-            strides=self.strides[1:len(pyramid)])
+            strides=self.strides[1:len(pyramid)],
+            method="prroi_pallas" if self.pallas_pooling else "prroi")
         logits, box_deltas, feats = self.box_head(pooled)
         probs = jax.nn.softmax(logits, axis=-1)[:, 1:]  # drop background
         boxes = decode_deltas(props, box_deltas)

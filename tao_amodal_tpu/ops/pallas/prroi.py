@@ -1,0 +1,115 @@
+"""Pallas PrRoI pooling: fused weights + double matmul in VMEM.
+
+The XLA formulation (:func:`tao_amodal_tpu.ops.roi.prroi_pool`)
+materializes the ``[R, out, W, C]`` intermediate in HBM (~58 MB per
+P3-level frame at R=128).  This kernel keeps everything on-chip: each
+grid step owns a block of RoIs, builds the per-axis hat-integral
+weights in-register from the RoI scalars, and runs both contractions
+against the VMEM-resident feature map — zero HBM intermediates.
+
+Forward-only (inference hot path); training uses the autodiff-friendly
+XLA form.  Equivalence is tested in interpret mode against the XLA
+implementation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _hat_antideriv(u):
+    u = jnp.clip(u, -1.0, 1.0)
+    return jnp.where(u <= 0, 0.5 * (u + 1.0) ** 2,
+                     0.5 + u - 0.5 * u ** 2)
+
+
+def _kernel(rois_ref, feat_ref, out_ref, *, out_size, block_r):
+    """One block of RoIs against the whole (VMEM) feature map.
+
+    rois_ref: ``[block_r, 4]`` xyxy (feature coords) in VMEM.
+    feat_ref: ``[H, W, C]`` in VMEM.
+    out_ref:  ``[block_r, out, out, C]``.
+    """
+    H, W, C = feat_ref.shape
+    feat = feat_ref[:]
+
+    rois = rois_ref[:]
+    x0 = rois[:, 0]
+    y0 = rois[:, 1]
+    bw = jnp.maximum((rois[:, 2] - x0) / out_size, 1e-8)  # [B]
+    bh = jnp.maximum((rois[:, 3] - y0) / out_size, 1e-8)
+
+    # Mosaic supports only 2-D iota: build [out, 1] and [1, n] index
+    # planes, broadcast arithmetic handles the rest.
+    bins = jax.lax.broadcasted_iota(
+        jnp.int32, (out_size, 1), 0).astype(jnp.float32)
+
+    def axis_weights(lo0, step, n):
+        idx = jax.lax.broadcasted_iota(
+            jnp.int32, (1, n), 1).astype(jnp.float32)
+        lo = (lo0[:, None, None]
+              + bins[None] * step[:, None, None])   # [B, out, 1]
+        hi = lo + step[:, None, None]
+        return (_hat_antideriv(hi - idx[None])
+                - _hat_antideriv(lo - idx[None]))   # [B, out, n]
+
+    wy = axis_weights(y0, bh, H).astype(feat.dtype)
+    wx = axis_weights(x0, bw, W).astype(feat.dtype)
+
+    # Per-roi double contraction via a fori_loop of 2-D MXU matmuls
+    # (Mosaic's reshape/contract support is 2-D-centric; the loop body
+    # stays entirely in VMEM/registers).
+    feat2d = feat.reshape(H, W * C)
+
+    # Static unroll over the roi block (dynamic_slice of VMEM values
+    # is not lowerable; static indices are free).
+    for i in range(block_r):
+        # tmp[out, W*C] = wy_i[out, H] @ feat[H, W*C]
+        tmp = jnp.dot(wy[i], feat2d,
+                      preferred_element_type=jnp.float32)
+        # out[x, out_y*C] = wx_i[out, W] @ tmp_wyc[W, out_y*C]
+        tmp_wyc = tmp.reshape(out_size, W, C).transpose(1, 0, 2)
+        tmp2 = tmp_wyc.reshape(W, out_size * C)
+        o = jnp.dot(wx[i].astype(jnp.float32), tmp2,
+                    preferred_element_type=jnp.float32)
+        o = o.reshape(out_size, out_size, C).transpose(1, 0, 2)
+        out_ref[i] = o / (bw[i] * bh[i])
+
+
+@partial(jax.jit, static_argnames=("out_size", "block_r", "interpret"))
+def prroi_pool_pallas(features, rois, out_size=7, spatial_scale=1.0,
+                      block_r=8, interpret=False):
+    """Pallas PrRoI forward.
+
+    Args:
+      features: ``[H, W, C]``; C a multiple of 128 for clean tiling.
+      rois: ``[R, 4]`` xyxy image coords; R a multiple of ``block_r``.
+
+    Returns ``[R, out_size, out_size, C]`` float32.
+    """
+    H, W, C = features.shape
+    R = rois.shape[0]
+    assert R % block_r == 0, (R, block_r)
+    rois = (rois.astype(jnp.float32) * spatial_scale)
+
+    return pl.pallas_call(
+        partial(_kernel, out_size=out_size, block_r=block_r),
+        out_shape=jax.ShapeDtypeStruct((R, out_size, out_size, C),
+                                       jnp.float32),
+        grid=(R // block_r,),
+        in_specs=[
+            pl.BlockSpec((block_r, 4), lambda r: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, W, C), lambda r: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_r, out_size, out_size, C),
+                               lambda r: (r, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(rois, features)

@@ -170,7 +170,16 @@ def multilevel_roi_align(pyramid, rois, canonical_level=2,
                        + jnp.log2(jnp.sqrt(areas) / canonical_size + 1e-8))
     target = jnp.clip(target, 0, len(pyramid) - 1).astype(jnp.int32)
 
-    pool = prroi_pool if method == "prroi" else roi_align
+    if method == "prroi_pallas":
+        from tao_amodal_tpu.ops.pallas.prroi import prroi_pool_pallas
+
+        def pool(feat, rois, out_size, scale):
+            return prroi_pool_pallas(feat, rois, out_size=out_size,
+                                     spatial_scale=scale)
+    elif method == "prroi":
+        pool = prroi_pool
+    else:
+        pool = roi_align
     pooled = [pool(feat, rois, out_size, 1.0 / stride)
               for feat, stride in zip(pyramid, strides)]
     stacked = jnp.stack(pooled, axis=0)  # [L, R, o, o, C]

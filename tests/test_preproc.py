@@ -70,3 +70,20 @@ def test_normalization_applied():
     out, _ = preprocess_clip(img, out_size=32, mean=(100, 100, 100),
                              std=(10, 10, 10), use_pallas=False)
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-5)
+
+
+def test_prroi_pallas_matches_xla():
+    """Pallas PrRoI (interpret mode) vs the XLA einsum form."""
+    from tao_amodal_tpu.ops.pallas.prroi import prroi_pool_pallas
+    from tao_amodal_tpu.ops.roi import prroi_pool
+
+    rng = np.random.RandomState(3)
+    feat = jnp.asarray(rng.randn(32, 32, 128).astype(np.float32))
+    rois = jnp.asarray(
+        np.stack([rng.uniform(0, 12, 8), rng.uniform(0, 12, 8),
+                  rng.uniform(16, 30, 8), rng.uniform(16, 30, 8)],
+                 axis=1).astype(np.float32))
+    exp = np.asarray(prroi_pool(feat, rois, out_size=7))
+    got = np.asarray(prroi_pool_pallas(feat, rois, out_size=7,
+                                       block_r=4, interpret=True))
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-4)
