@@ -82,3 +82,33 @@ def test_dimp_tracker_runs():
     boxes, scores, _ = tracker.track(frames, gt[0])
     assert boxes.shape == (5, 4)
     assert np.all(np.isfinite(boxes))
+
+
+def test_track_clip_scan_matches_stepwise():
+    """lax.scan clip tracking must equal the per-frame host loop."""
+    from tao_amodal_tpu.models.siamese import SiameseTracker
+    from tao_amodal_tpu.trackers.siamrpn import (
+        SiamConfig,
+        make_siamrpn_step,
+        track_clip,
+    )
+
+    cfg = SiamConfig(exemplar_size=64, instance_size=128, base_size=0)
+    model = SiameseTracker(num_levels=3)
+    rng = jax.random.PRNGKey(1)
+    z = jnp.zeros((1, 64, 64, 3))
+    x = jnp.zeros((1, 128, 128, 3))
+    params = model.init(rng, template=z, search=x, mode="train")
+    init_fn, step_fn = make_siamrpn_step(model, params, cfg)
+
+    frames, gt = _moving_square_seq(T=4, H=128, W=128)
+    clip = jnp.asarray(np.stack(frames))
+    boxes_scan, scores_scan = track_clip(init_fn, step_fn, clip, gt[0])
+
+    state = init_fn(clip[0], np.asarray(gt[0], np.float32))
+    boxes_loop = [np.asarray(gt[0], np.float32)]
+    for t in range(1, 4):
+        state, (box, _) = step_fn(state, clip[t])
+        boxes_loop.append(np.asarray(box))
+    np.testing.assert_allclose(np.asarray(boxes_scan),
+                               np.stack(boxes_loop), atol=1e-3)
