@@ -65,7 +65,10 @@ class ClipDetector(nn.Module):
     num_proposals: int = 128
     anchor_scales: Sequence[float] = (32, 64, 128, 256, 512)
     anchor_ratios: Sequence[float] = (0.5, 1.0, 2.0)
-    strides: Sequence[int] = (4, 8, 16, 32, 64)
+    # RetinaNet-style P3-P7 pyramid: the stride-4 P2 level costs ~2x
+    # the rest of the head combined (FPN post-conv + RPN tower on a
+    # 128^2 map) for marginal small-object gain at this workload.
+    strides: Sequence[int] = (8, 16, 32, 64, 128)
     backbone_stages: Sequence[int] = (3, 4, 6, 3)  # ResNet-50
     # Pallas RoI pooling: forward-only fused kernel (~50x the XLA
     # einsum form on TPU); leave False for training (autodiff) or CPU.
@@ -74,8 +77,8 @@ class ClipDetector(nn.Module):
 
     def setup(self):
         self.backbone = ResNet(stage_sizes=tuple(self.backbone_stages),
-                               out_stages=(1, 2, 3, 4), dtype=self.dtype)
-        self.fpn = FPN(self.features, num_extra_levels=1, dtype=self.dtype)
+                               out_stages=(2, 3, 4), dtype=self.dtype)
+        self.fpn = FPN(self.features, num_extra_levels=2, dtype=self.dtype)
         self.rpn = RPNHead(num_anchors=len(self.anchor_ratios),
                            features=self.features, dtype=self.dtype)
         self.box_head = RoIBoxHead(self.num_classes, dtype=self.dtype)
@@ -98,11 +101,10 @@ class ClipDetector(nn.Module):
             objs, deltas, anchors, image_hw,
             post_nms_topk=self.num_proposals)
 
-        # Pool from P3 up: the stride-4 level quadruples the pooling
-        # matmul cost for marginal small-object gain.
+        # Pool over P3-P6 (canonical 224^2 roi -> P4 = index 1).
         pooled = multilevel_roi_align(
-            pyramid[1:], props, out_size=7, canonical_level=1,
-            strides=self.strides[1:len(pyramid)],
+            pyramid[:4], props, out_size=7, canonical_level=1,
+            strides=self.strides[:4],
             method="prroi_pallas" if self.pallas_pooling else "prroi")
         logits, box_deltas, feats = self.box_head(pooled)
         probs = jax.nn.softmax(logits, axis=-1)[:, 1:]  # drop background
