@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -27,19 +28,59 @@ class ConvBN(nn.Module):
     dilation: int = 1
     dtype: Any = jnp.float32
     use_relu: bool = True
+    # int8 inference mode: per-channel weight scales, int32
+    # accumulation. NOTE (measured, v5e via XLA conv): currently ~13%
+    # SLOWER than bf16 — XLA does not route this lowering onto the 2x
+    # int8 MXU path and the (re)quantization passes cost bandwidth.
+    # Kept as a capability flag; revisit with native quant support.
+    # act_scale: optional static calibrated activation scale.
+    int8: bool = False
+    act_scale: Any = None
 
     @nn.compact
     def __call__(self, x, train=False):
         pad = ((self.kernel[0] - 1) // 2 * self.dilation,) * 2
-        x = nn.Conv(self.features, self.kernel, strides=self.strides,
-                    kernel_dilation=self.dilation,
-                    padding=[pad, pad], use_bias=False,
-                    dtype=self.dtype)(x)
+        if self.int8 and not train:
+            x = _int8_conv(self, x, pad)
+        else:
+            x = nn.Conv(self.features, self.kernel,
+                        strides=self.strides,
+                        kernel_dilation=self.dilation,
+                        padding=[pad, pad], use_bias=False,
+                        dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype)(x)
         if self.use_relu:
             x = nn.relu(x)
         return x
+
+
+def _int8_conv(mod: "ConvBN", x, pad):
+    """Quantized conv body (shares the f32 kernel parameters so the
+    same checkpoint serves both modes)."""
+    kh, kw = mod.kernel
+    in_ch = x.shape[-1]
+    w = mod.param("qkernel", nn.initializers.lecun_normal(),
+                  (kh, kw, in_ch, mod.features), jnp.float32)
+    # Per-output-channel weight scales.
+    w_max = jnp.max(jnp.abs(w), axis=(0, 1, 2), keepdims=True)
+    s_w = jnp.maximum(w_max, 1e-8) / 127.0
+    w8 = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
+    # Activation scale: a calibrated static constant when provided
+    # (zero extra passes), else dynamic per-tensor abs-max.
+    x_f = x.astype(jnp.float32)
+    if mod.act_scale is not None:
+        s_x = jnp.float32(mod.act_scale)
+    else:
+        s_x = jnp.maximum(jnp.max(jnp.abs(x_f)), 1e-8) / 127.0
+    x8 = jnp.clip(jnp.round(x_f / s_x), -127, 127).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(
+        x8, w8, window_strides=(mod.strides, mod.strides),
+        padding=[pad, pad], rhs_dilation=(mod.dilation, mod.dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32)
+            * (s_x * s_w.reshape(1, 1, 1, -1))).astype(mod.dtype)
 
 
 class Bottleneck(nn.Module):
@@ -50,19 +91,22 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     downsample: bool = False
     dtype: Any = jnp.float32
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, train=False):
         residual = x
-        out = ConvBN(self.features, (1, 1), dtype=self.dtype)(x, train)
+        out = ConvBN(self.features, (1, 1), dtype=self.dtype,
+                     int8=self.int8)(x, train)
         out = ConvBN(self.features, (3, 3), strides=self.strides,
-                     dilation=self.dilation, dtype=self.dtype)(out, train)
+                     dilation=self.dilation, dtype=self.dtype,
+                     int8=self.int8)(out, train)
         out = ConvBN(self.features * 4, (1, 1), dtype=self.dtype,
-                     use_relu=False)(out, train)
+                     use_relu=False, int8=self.int8)(out, train)
         if self.downsample:
             residual = ConvBN(self.features * 4, (1, 1),
                               strides=self.strides, dtype=self.dtype,
-                              use_relu=False)(x, train)
+                              use_relu=False, int8=self.int8)(x, train)
         return nn.relu(out + residual)
 
 
@@ -80,10 +124,12 @@ class ResNet(nn.Module):
     strides: Sequence[int] = (1, 2, 2, 2)
     dilations: Sequence[int] = (1, 1, 1, 1)
     dtype: Any = jnp.float32
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, train=False):
-        x = ConvBN(64, (7, 7), strides=2, dtype=self.dtype)(x, train)
+        x = ConvBN(64, (7, 7), strides=2, dtype=self.dtype,
+                   int8=self.int8)(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         outputs = []
         features = 64
@@ -93,7 +139,8 @@ class ResNet(nn.Module):
                 x = Bottleneck(
                     features, strides=stride,
                     dilation=self.dilations[stage],
-                    downsample=(i == 0), dtype=self.dtype)(x, train)
+                    downsample=(i == 0), dtype=self.dtype,
+                    int8=self.int8)(x, train)
             if (stage + 1) in self.out_stages:
                 outputs.append(x)
             features *= 2

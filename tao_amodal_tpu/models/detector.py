@@ -73,11 +73,14 @@ class ClipDetector(nn.Module):
     # Pallas RoI pooling: forward-only fused kernel (~50x the XLA
     # einsum form on TPU); leave False for training (autodiff) or CPU.
     pallas_pooling: bool = False
+    # int8 post-training-quantized trunk (inference only).
+    int8_backbone: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
         self.backbone = ResNet(stage_sizes=tuple(self.backbone_stages),
-                               out_stages=(2, 3, 4), dtype=self.dtype)
+                               out_stages=(2, 3, 4), dtype=self.dtype,
+                               int8=self.int8_backbone)
         self.fpn = FPN(self.features, num_extra_levels=2, dtype=self.dtype)
         self.rpn = RPNHead(num_anchors=len(self.anchor_ratios),
                            features=self.features, dtype=self.dtype)

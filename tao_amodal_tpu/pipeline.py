@@ -32,13 +32,14 @@ class AmodalPipeline(NamedTuple):
     @staticmethod
     def create(num_classes=80, num_dets=64, dtype=jnp.float32,
                backbone_stages=(3, 4, 6, 3), num_proposals=128,
-               pallas_pooling=False):
+               pallas_pooling=False, int8_backbone=False):
         return AmodalPipeline(
             detector=ClipDetector(num_classes=num_classes,
                                   num_dets=num_dets, dtype=dtype,
                                   num_proposals=num_proposals,
                                   backbone_stages=backbone_stages,
-                                  pallas_pooling=pallas_pooling),
+                                  pallas_pooling=pallas_pooling,
+                                  int8_backbone=int8_backbone),
             expander=AmodalExpander(dtype=dtype),
         )
 
