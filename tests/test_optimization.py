@@ -103,3 +103,56 @@ def test_train_filter_fits_response():
     peak0 = np.unravel_index(np.argmax(np.asarray(resp[0])),
                              (out_hw, out_hw))
     assert abs(peak0[0] - 4) <= 1 and abs(peak0[1] - 4) <= 1
+
+
+def test_dimp_actor_meta_gradients():
+    """Meta-gradients flow through the inner filter optimization."""
+    import flax.linen as nn
+
+    from tao_amodal_tpu.models.dimp import IoUNet
+    from tao_amodal_tpu.train.dimp_loss import dimp_actor_loss
+
+    class TinyExtractor(nn.Module):
+        @nn.compact
+        def __call__(self, imgs):
+            x = nn.Conv(16, (3, 3), strides=4, padding="SAME")(imgs)
+            return nn.relu(x)
+
+    rng = np.random.RandomState(0)
+    S = 32
+    extractor = TinyExtractor()
+    ex_vars = extractor.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, S, S, 3)))
+    iou_net = IoUNet(features=16, pool_size=3)
+    h = S // 4
+    iou_vars = iou_net.init(jax.random.PRNGKey(1),
+                            jnp.zeros((h, h, 16)),
+                            jnp.zeros((3 * 3 * 16,)),
+                            jnp.zeros((1, 4)), spatial_scale=1.0)
+
+    batch = {
+        "train_images": jnp.asarray(
+            rng.rand(2, 2, S, S, 3).astype(np.float32)),
+        "train_boxes": jnp.tile(
+            jnp.array([8.0, 8.0, 24.0, 24.0]), (2, 2, 1)),
+        "test_images": jnp.asarray(
+            rng.rand(2, 2, S, S, 3).astype(np.float32)),
+        "test_boxes": jnp.tile(
+            jnp.array([10.0, 8.0, 26.0, 24.0]), (2, 2, 1)),
+    }
+    variables = {"extractor": ex_vars, "iou": iou_vars}
+
+    def loss_fn(v):
+        total, _ = dimp_actor_loss(
+            lambda vv, im: extractor.apply(vv, im), iou_net, v, batch,
+            filter_size=3, num_gn_iters=2, num_cg_iters=3)
+        return total
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    # The extractor must receive nonzero meta-gradient through the
+    # inner Gauss-Newton optimization.
+    gex = jax.tree_util.tree_leaves(grads["extractor"])
+    assert sum(float(np.abs(np.asarray(g)).sum()) for g in gex) > 0
