@@ -135,3 +135,55 @@ def test_samplers():
     out = seq.sample()
     assert len(out["train_frames"]) == 2
     assert len(out["test_frames"]) == 3
+
+
+def test_trainer_fail_safe_recovers(tmp_path):
+    """A mid-training crash restores the latest checkpoint and
+    continues (reference base_trainer.py:60-88 behavior)."""
+    from tao_amodal_tpu.train.loop import TrainConfig, Trainer
+
+    calls = {"n": 0}
+
+    def step(state, batch, rng):
+        return state + 1, {"loss": jnp.float32(0.5)}
+
+    crash_once = {"armed": True}
+
+    def data_iter(epoch):
+        for i in range(3):
+            if epoch == 1 and i == 1 and crash_once["armed"]:
+                crash_once["armed"] = False
+                raise RuntimeError("injected fault")
+            calls["n"] += 1
+            yield {"x": np.zeros(1)}
+
+    trainer = Trainer(step, jnp.zeros(()), data_iter,
+                      TrainConfig(num_epochs=3, steps_per_epoch=3,
+                                  checkpoint_dir=str(tmp_path),
+                                  log_every=100,
+                                  fail_safe_retries=3))
+    state = trainer.train()
+    assert trainer.epoch == 3
+    # Crash happened after epoch 0's checkpoint; epoch 1 was retried.
+    assert not crash_once["armed"]
+    assert float(state) >= 9  # at least 3 epochs x 3 steps applied
+
+
+def test_trainer_fail_safe_exhausts(tmp_path):
+    from tao_amodal_tpu.train.loop import TrainConfig, Trainer
+
+    def step(state, batch, rng):
+        return state, {"loss": jnp.float32(0.0)}
+
+    def data_iter(epoch):
+        raise RuntimeError("always broken")
+        yield  # pragma: no cover
+
+    trainer = Trainer(step, jnp.zeros(()), data_iter,
+                      TrainConfig(num_epochs=1, steps_per_epoch=1,
+                                  checkpoint_dir=str(tmp_path),
+                                  fail_safe_retries=2))
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="always broken"):
+        trainer.train()
