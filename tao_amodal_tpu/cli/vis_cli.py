@@ -42,6 +42,9 @@ def default_arg_parser(description=""):
                    help="BURST mask annotation JSON")
     p.add_argument("--score_threshold", type=float, default=0.5)
     p.add_argument("--interpolate", action="store_true")
+    p.add_argument("--clip_annotation", action="store_true",
+                   help="clip amodal boxes to the frame bounds "
+                        "(reference utils.py:215-224)")
     p.add_argument("--transparent", action="store_true",
                    help="dim background outside boxes")
     p.add_argument("--modal", action="store_true",
@@ -73,6 +76,19 @@ class PredictionIndex:
 
     def __getitem__(self, image_id):
         return self.img_to_anns.get(image_id, [])
+
+
+def clip_annotation_boxes(anns, width, height):
+    """Clip each box to the frame (out-of-frame extent removed)."""
+    out = []
+    for ann in anns:
+        x, y, w, h = ann["bbox"]
+        x0, y0 = max(x, 0.0), max(y, 0.0)
+        x1, y1 = min(x + w, width), min(y + h, height)
+        a = dict(ann)
+        a["bbox"] = [x0, y0, max(x1 - x0, 0.0), max(y1 - y0, 0.0)]
+        out.append(a)
+    return out
 
 
 def _load_frame(images_dir, file_name, wh):
@@ -155,6 +171,9 @@ def render_video(dataset, video, args, category_names,
             if args.filter_tracks:
                 anns = [a for a in anns
                         if a.get("track_id") in set(args.filter_tracks)]
+            if args.clip_annotation:
+                anns = clip_annotation_boxes(anns, video["width"],
+                                             video["height"])
             if burst_video is not None:
                 fname = os.path.basename(im["file_name"])
                 masks = burst_video.get_mask_by_frame(fname)
@@ -209,8 +228,8 @@ def main(argv=None, mode="annotations"):
 
     names = select_videos(dataset, args)
     vids = {v["name"]: v for v in dataset.vids.values()}
-    outputs = []
-    for name in names:
+
+    def render_one(name):
         video = vids[name]
         burst_video = None
         if burst is not None and name in burst._by_name:
@@ -220,8 +239,17 @@ def main(argv=None, mode="annotations"):
                            prediction2=prediction2,
                            burst_video=burst_video)
         logger.info("wrote %s", out)
-        outputs.append(out)
-    return outputs
+        return out
+
+    if args.workers and args.workers > 1 and len(names) > 1:
+        # Per-video fan-out (reference vis drivers use a
+        # multiprocessing.Pool; threads suffice here since the heavy
+        # work is in cv2/ffmpeg which release the GIL).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(args.workers) as pool:
+            return list(pool.map(render_one, names))
+    return [render_one(name) for name in names]
 
 
 if __name__ == "__main__":
