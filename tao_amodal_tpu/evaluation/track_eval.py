@@ -365,6 +365,10 @@ class TrackMapEvaluator:
         precision = -np.ones(
             (num_thrs, num_recalls, num_cats, num_area, num_time))
         recall = -np.ones((num_thrs, num_cats, num_area, num_time))
+        # Per-cell analysis pointers (reference ``eval.py:533-537``).
+        dt_pointers = {c: {a: {t: {} for t in range(num_time)}
+                           for a in range(num_area)}
+                       for c in range(num_cats)}
 
         for c in range(num_cats):
             for a in range(num_area):
@@ -385,6 +389,12 @@ class TrackMapEvaluator:
                         continue
                     tps = np.logical_and(dt_m != -1, np.logical_not(dt_ig))
                     fps = np.logical_and(dt_m == -1, np.logical_not(dt_ig))
+                    dt_ids = (np.concatenate(
+                        [e["dt_ids"] for e in E])[order]
+                        if all("dt_ids" in e for e in E) else None)
+                    dt_pointers[c][a][t] = {
+                        "dt_ids": dt_ids, "tps": tps, "fps": fps,
+                    }
                     prec, rec = pr_curves(tps, fps, num_gt, p.rec_thrs)
                     precision[:, :, c, a, t] = prec
                     recall[:, c, a, t] = rec
@@ -395,6 +405,7 @@ class TrackMapEvaluator:
             "date": datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S"),
             "precision": precision,
             "recall": recall,
+            "dt_pointers": dt_pointers,
         }
 
     def _summarize(self, summary_type, iou_thr=None, area_rng="all",
