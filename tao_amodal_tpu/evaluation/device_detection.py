@@ -1,0 +1,185 @@
+"""Device-batched amodal detection (LVIS-style) evaluation.
+
+Per-frame counterpart of :mod:`tao_amodal_tpu.evaluation.device_eval`:
+a batch of padded images evaluates in one jitted program across all
+(category x visibility-range x threshold) cells — per-image box IoU
+matrices are one vmapped broadcast, matching runs under a double vmap
+with validity masks, and the OOF pseudo-range rides the same kernel
+with a flag.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tao_amodal_tpu.evaluation.detection_eval import (
+    AmodalDetectionEvaluator,
+)
+from tao_amodal_tpu.ops.boxes import box_iou_matrix
+from tao_amodal_tpu.ops.matching import greedy_match_jax
+
+
+@jax.jit
+def eval_images_device(dt, gt, cat_ids, vis_rngs, use_oof, iou_thrs):
+    """Evaluate a padded image batch over all cells.
+
+    Args:
+      dt: dict of ``boxes [I, D, 4]`` (xywh), ``scores [I, D]``,
+        ``cats [I, D]``, ``nel [I, D]``, ``exists [I, D]``.
+      gt: dict of ``boxes [I, G, 4]``, ``vis [I, G]``, ``oof [I, G]``,
+        ``ignore0 [I, G]``, ``cats [I, G]``, ``exists [I, G]``.
+      cat_ids: ``[C]``; vis_rngs ``[A, 2]``; use_oof ``[A]`` bool.
+
+    Returns per-cell arrays ``[I, C, A, ...]``.
+    """
+    ious = jax.vmap(lambda d, g: box_iou_matrix(d, g))(
+        dt["boxes"].astype(jnp.float32),
+        gt["boxes"].astype(jnp.float32))  # [I, D, G]
+
+    def per_image(iou_i, dt_i, gt_i):
+        order = jnp.argsort(-dt_i["scores"], stable=True)
+        iou_s = iou_i[order]
+        D = dt_i["scores"].shape[0]
+        G = gt_i["cats"].shape[0]
+        dt_ids = (jnp.arange(D, dtype=jnp.float32) + 1.0)[order]
+
+        def one_cell(cat_id, vis_rng, oof_flag):
+            dt_mask = (dt_i["cats"] == cat_id) & dt_i["exists"]
+            gt_mask = (gt_i["cats"] == cat_id) & gt_i["exists"]
+            dt_mask_s = dt_mask[order]
+            ig_vis = ((gt_i["ignore0"] != 0)
+                      | (gt_i["vis"] < vis_rng[0])
+                      | (gt_i["vis"] > vis_rng[1]))
+            ig_oof = (gt_i["ignore0"] != 0) | ~gt_i["oof"]
+            ignore = jnp.where(oof_flag, ig_oof, ig_vis)
+            key = (ignore.astype(jnp.int32)
+                   + 2 * (~gt_mask).astype(jnp.int32))
+            perm = jnp.argsort(key, stable=True)
+            gt_ig = ignore.astype(jnp.float32)[perm]
+            gt_ids = (jnp.arange(G, dtype=jnp.float32) + 101.0)[perm]
+
+            dt_m, _, dt_igm = greedy_match_jax(
+                iou_s[:, perm], gt_ig, dt_ids, gt_ids, iou_thrs,
+                dt_valid=dt_mask_s, gt_valid=gt_mask[perm],
+                unmatched=0.0)
+            dt_ig_mask = dt_i["nel"][order][None, :]
+            dt_ig = jnp.logical_or(
+                dt_igm, jnp.logical_and(dt_m == 0, dt_ig_mask))
+            return {
+                "dt_matches": dt_m,
+                "dt_ignore": dt_ig,
+                "gt_ignore": jnp.where(gt_mask[perm], gt_ig, 1.0),
+                "dt_in_cell": dt_mask_s,
+                "cell_valid": jnp.any(dt_mask) | jnp.any(gt_mask),
+            }
+
+        over_vis = jax.vmap(one_cell, in_axes=(None, 0, 0))
+        over_cat = jax.vmap(over_vis, in_axes=(0, None, None))
+        out = over_cat(cat_ids, vis_rngs, use_oof)
+        out["dt_scores"] = dt_i["scores"][order]
+        return out
+
+    return jax.vmap(per_image)(ious, dt, gt)
+
+
+def _next_pow2(n, lo=4):
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+class DeviceDetectionEval(AmodalDetectionEvaluator):
+    """AmodalDetectionEvaluator with per-image cells on device."""
+
+    def evaluate(self):
+        p = self.params
+        p.img_ids = list(np.unique(p.img_ids))
+        cat_ids = p.cat_ids if p.use_cats else [-1]
+        gt_cells, dt_cells = self._prepare_cells()
+        self.freq_groups = self._prepare_freq_group()
+
+        per_img = defaultdict(lambda: {"dt": [], "gt": []})
+        for (img, _cat), anns in gt_cells.items():
+            per_img[img]["gt"].extend(anns)
+        for (img, _cat), anns in dt_cells.items():
+            per_img[img]["dt"].extend(anns)
+
+        # Bucket images by padded (D, G).
+        buckets = defaultdict(list)
+        for i, img_id in enumerate(p.img_ids):
+            entry = per_img.get(img_id)
+            if entry is None or (not entry["dt"] and not entry["gt"]):
+                continue
+            D = _next_pow2(max(len(entry["dt"]), 1))
+            G = _next_pow2(max(len(entry["gt"]), 1))
+            buckets[D, G].append((i, img_id, entry))
+
+        cat_arr = jnp.asarray(np.asarray(cat_ids, np.int32))
+        vis_arr = jnp.asarray(np.asarray(p.visibility_rng, np.float32))
+        oof_arr = jnp.asarray(
+            np.arange(len(p.visibility_rng))
+            == len(p.visibility_rng) - 1)
+        thrs = jnp.asarray(np.asarray(p.iou_thrs, np.float32))
+
+        self.eval_imgs = {}
+        for c in range(len(cat_ids)):
+            for a in range(len(p.visibility_rng)):
+                for i in range(len(p.img_ids)):
+                    self.eval_imgs[c, a, i] = None
+
+        for (D, G), items in buckets.items():
+            dt, gt = self._pack(items, D, G)
+            out = eval_images_device(dt, gt, cat_arr, vis_arr, oof_arr,
+                                     thrs)
+            out = {k: np.asarray(v) for k, v in out.items()}
+            for bi, (i, img_id, entry) in enumerate(items):
+                for c in range(len(cat_ids)):
+                    if not out["cell_valid"][bi, c, 0]:
+                        continue
+                    for a in range(len(p.visibility_rng)):
+                        in_cell = out["dt_in_cell"][bi, c, a]
+                        self.eval_imgs[c, a, i] = {
+                            "dt_matches":
+                                out["dt_matches"][bi, c, a][:, in_cell],
+                            "dt_ignore":
+                                out["dt_ignore"][bi, c, a][:, in_cell],
+                            "dt_scores": out["dt_scores"][bi][in_cell],
+                            "gt_ignore": out["gt_ignore"][bi, c, a],
+                        }
+
+    def _pack(self, items, D, G):
+        n = len(items)
+        dt = {"boxes": np.zeros((n, D, 4), np.float32),
+              "scores": np.full((n, D), -np.inf, np.float32),
+              "cats": np.full((n, D), -1, np.int32),
+              "nel": np.zeros((n, D), bool),
+              "exists": np.zeros((n, D), bool)}
+        gt = {"boxes": np.zeros((n, G, 4), np.float32),
+              "vis": np.zeros((n, G), np.float32),
+              "oof": np.zeros((n, G), bool),
+              "ignore0": np.zeros((n, G), np.float32),
+              "cats": np.full((n, G), -1, np.int32),
+              "exists": np.zeros((n, G), bool)}
+        for b, (_i, img_id, entry) in enumerate(items):
+            for j, ann in enumerate(entry["dt"][:D]):
+                dt["boxes"][b, j] = ann["bbox"]
+                dt["scores"][b, j] = ann["score"]
+                dt["cats"][b, j] = ann["category_id"]
+                dt["nel"][b, j] = (ann["category_id"]
+                                   in self.img_nel[ann["image_id"]])
+                dt["exists"][b, j] = True
+            for j, ann in enumerate(entry["gt"][:G]):
+                gt["boxes"][b, j] = ann["bbox"]
+                gt["vis"][b, j] = ann.get("visibility", 1.0)
+                gt["oof"][b, j] = bool(ann.get("out_of_frame", False))
+                gt["ignore0"][b, j] = ann.get("ignore", 0)
+                gt["cats"][b, j] = ann["category_id"]
+                gt["exists"][b, j] = True
+        return ({k: jnp.asarray(v) for k, v in dt.items()},
+                {k: jnp.asarray(v) for k, v in gt.items()})

@@ -41,3 +41,23 @@ def test_device_eval_matches_host(fixture_files):
         assert abs(h[key] - d[key]) < 2e-3, (key, h[key], d[key])
     # Headline metrics are meaningful (nonzero) on this fixture.
     assert h["AP50"] > 0.05
+
+
+def test_device_detection_eval_matches_host(fixture_files):
+    from tao_amodal_tpu.evaluation.detection_eval import (
+        AmodalDetectionEvaluator,
+    )
+    from tao_amodal_tpu.evaluation.device_detection import (
+        DeviceDetectionEval,
+    )
+
+    gt_path, pred_path = fixture_files
+    host = AmodalDetectionEvaluator(gt_path, pred_path, "bbox")
+    host.run()
+    dev = DeviceDetectionEval(gt_path, pred_path, "bbox")
+    dev.run()
+
+    h, d = host.get_results(), dev.get_results()
+    assert list(h.keys()) == list(d.keys())
+    for key in h:
+        assert abs(h[key] - d[key]) < 2e-3, (key, h[key], d[key])
