@@ -32,7 +32,7 @@ from tao_amodal_tpu.ops.track_iou import track_iou_matrix
 
 @partial(jax.jit, static_argnames=("hp_min_frames",))
 def eval_video_device(dt, gt, cat_ids, area_rngs, time_rngs, use_occ,
-                      iou_thrs, hp_min_frames=6):
+                      iou_thrs, hp_min_frames=6, ious=None):
     """Evaluate one padded video over all cells.
 
     Args:
@@ -54,9 +54,12 @@ def eval_video_device(dt, gt, cat_ids, area_rngs, time_rngs, use_occ,
     D = dt["scores"].shape[0]
     G = gt["cats"].shape[0]
 
-    ious = track_iou_matrix(
-        dt["boxes"], dt["frame_valid"], gt["boxes"], gt["frame_valid"],
-        xp=jnp).astype(jnp.float32)
+    if ious is None:
+        ious = track_iou_matrix(
+            dt["boxes"], dt["frame_valid"], gt["boxes"],
+            gt["frame_valid"], xp=jnp).astype(jnp.float32)
+    else:
+        ious = jnp.asarray(ious, jnp.float32)
 
     # Global stable score-descending order for detections.
     order = jnp.argsort(-dt["scores"], stable=True)

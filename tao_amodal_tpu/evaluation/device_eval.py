@@ -32,7 +32,31 @@ def _next_pow2(n, lo=8):
 
 
 class DeviceTrackEval(TrackMapEvaluator):
-    """TrackMapEvaluator with the per-video cell math on device."""
+    """TrackMapEvaluator with the per-video cell math on device.
+
+    With ``mesh`` set (and videos whose padded frame axis divides the
+    mesh's data-axis size), the per-video track-IoU matrix is computed
+    context-parallel: frames shard across devices, partial (I, U)
+    sums combine with a psum — exact, per the 3D-IoU decomposition
+    (survey §5).  Long-video eval then scales with chip count.
+    """
+
+    def __init__(self, *args, mesh=None, cp_min_frames=64, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._mesh = mesh
+        self._cp_min_frames = cp_min_frames
+
+    def _cell_ious(self, dt_pack, gt_pack, F):
+        if self._mesh is None:
+            return None
+        n_data = self._mesh.shape["data"]
+        if F < self._cp_min_frames or F % n_data != 0:
+            return None
+        from tao_amodal_tpu.parallel.cp import sharded_track_iou
+
+        return sharded_track_iou(
+            self._mesh, dt_pack["boxes"], dt_pack["frame_valid"],
+            gt_pack["boxes"], gt_pack["frame_valid"])
 
     def evaluate(self, show_progress=False):
         del show_progress
@@ -65,8 +89,10 @@ class DeviceTrackEval(TrackMapEvaluator):
                             self.eval_vids[v, c, a, t] = None
                 continue
             dt_pack, gt_pack, frame_count = self._pack(vid_id, entry, p)
+            ious = self._cell_ious(dt_pack, gt_pack, frame_count)
             out = eval_video_device(dt_pack, gt_pack, cat_arr,
-                                    area_arr, time_arr, use_occ, thrs)
+                                    area_arr, time_arr, use_occ, thrs,
+                                    ious=ious)
             out = {k: np.asarray(val) for k, val in out.items()}
 
             cat_present = {}

@@ -61,3 +61,20 @@ def test_device_detection_eval_matches_host(fixture_files):
     assert list(h.keys()) == list(d.keys())
     for key in h:
         assert abs(h[key] - d[key]) < 2e-3, (key, h[key], d[key])
+
+
+def test_device_eval_context_parallel_mesh(fixture_files):
+    """Frame-sharded (context-parallel) IoU path on the 8-device mesh
+    gives the same metrics."""
+    from tao_amodal_tpu.parallel.mesh import make_mesh
+
+    gt_path, pred_path = fixture_files
+    host = TrackMapEvaluator(gt_path, pred_path)
+    host.run()
+    dev = DeviceTrackEval(gt_path, pred_path,
+                          mesh=make_mesh(data=8, model=1),
+                          cp_min_frames=8)
+    dev.run()
+    h, d = host.get_results(), dev.get_results()
+    for key in h:
+        assert abs(h[key] - d[key]) < 2e-3, (key, h[key], d[key])
