@@ -142,8 +142,16 @@ class AmodalDetectionEvaluator:
 
         self._cells = {}
         self.ious = {}
-        for img_id in p.img_ids:
-            for cat_id in cat_ids:
+        # Iterate only populated cells, in (image, category) order (the
+        # dense imgs x cats product is ~30M mostly-empty pairs at real
+        # LVIS scale).
+        img_index = {im: i for i, im in enumerate(p.img_ids)}
+        cat_index = {c: i for i, c in enumerate(cat_ids)}
+        cell_keys = sorted(
+            set(gt_cells) | set(dt_cells),
+            key=lambda k: (img_index[k[0]], cat_index.get(k[1], 0)))
+        for img_id, cat_id in cell_keys:
+            if cat_id in cat_index:
                 gt = gt_cells.get((img_id, cat_id), [])
                 dt = dt_cells.get((img_id, cat_id), [])
                 if not gt and not dt:
@@ -176,13 +184,15 @@ class AmodalDetectionEvaluator:
                 }
 
         n_vis = len(p.visibility_rng)
-        self.eval_imgs = {}
-        for i, img_id in enumerate(p.img_ids):
-            for c, cat_id in enumerate(cat_ids):
+        # Sparse per-(c, a) result lists in image order: a dense
+        # (imgs x cats x ranges) map is hundreds of millions of
+        # mostly-None entries at real LVIS scale.
+        self.eval_imgs = defaultdict(list)
+        for img_id, cat_id in cell_keys:
+            if cat_id in cat_index:
+                c = cat_index[cat_id]
                 cell = self._cells.get((img_id, cat_id))
                 if cell is None:
-                    for a in range(n_vis):
-                        self.eval_imgs[c, a, i] = None
                     continue
                 # Visibility ranges often produce identical ignore
                 # vectors for a cell -> match once per signature.
@@ -201,7 +211,7 @@ class AmodalDetectionEvaluator:
                     if key not in memo:
                         memo[key] = self._match_cell_signed(cell,
                                                             ignore)
-                    self.eval_imgs[c, a, i] = memo[key]
+                    self.eval_imgs[c, a].append(memo[key])
 
     def _match_cell_signed(self, cell, ignore):
         p = self.params
@@ -258,10 +268,10 @@ class AmodalDetectionEvaluator:
         precision = -np.ones((num_thrs, num_recalls, num_cats, num_vis))
         recall = -np.ones((num_thrs, num_cats, num_vis))
 
+        del num_imgs
         for c in range(num_cats):
             for a in range(num_vis):
-                E = [self.eval_imgs[c, a, i] for i in range(num_imgs)]
-                E = [e for e in E if e is not None]
+                E = self.eval_imgs.get((c, a), ())
                 if not E:
                     continue
                 scores = np.concatenate([e["dt_scores"] for e in E])

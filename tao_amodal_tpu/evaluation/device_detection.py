@@ -127,11 +127,10 @@ class DeviceDetectionEval(AmodalDetectionEvaluator):
             == len(p.visibility_rng) - 1)
         thrs = jnp.asarray(np.asarray(p.iou_thrs, np.float32))
 
-        self.eval_imgs = {}
-        for c in range(len(cat_ids)):
-            for a in range(len(p.visibility_rng)):
-                for i in range(len(p.img_ids)):
-                    self.eval_imgs[c, a, i] = None
+        self.eval_imgs = defaultdict(list)
+        # Accumulation must see cells in image order regardless of
+        # bucket processing order: collect then sort by image index.
+        staging = defaultdict(list)
 
         for (D, G), items in buckets.items():
             dt, gt = self._pack(items, D, G)
@@ -144,14 +143,18 @@ class DeviceDetectionEval(AmodalDetectionEvaluator):
                         continue
                     for a in range(len(p.visibility_rng)):
                         in_cell = out["dt_in_cell"][bi, c, a]
-                        self.eval_imgs[c, a, i] = {
+                        staging[c, a].append((i, {
                             "dt_matches":
                                 out["dt_matches"][bi, c, a][:, in_cell],
                             "dt_ignore":
                                 out["dt_ignore"][bi, c, a][:, in_cell],
                             "dt_scores": out["dt_scores"][bi][in_cell],
                             "gt_ignore": out["gt_ignore"][bi, c, a],
-                        }
+                        }))
+
+        for key, entries in staging.items():
+            entries.sort(key=lambda item: item[0])
+            self.eval_imgs[key] = [e for _, e in entries]
 
     def _pack(self, items, D, G):
         n = len(items)

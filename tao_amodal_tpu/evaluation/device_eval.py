@@ -79,14 +79,12 @@ class DeviceTrackEval(TrackMapEvaluator):
             np.arange(len(p.area_rng)) == len(p.area_rng) - 1)
         thrs = jnp.asarray(np.asarray(p.iou_thrs, np.float32))
 
-        self.eval_vids = {}
+        from collections import defaultdict as _dd
+
+        self.eval_vids = _dd(list)
         for v, vid_id in enumerate(p.vid_ids):
             entry = per_video.get(vid_id)
             if entry is None or (not entry["dt"] and not entry["gt"]):
-                for c in range(len(cat_ids)):
-                    for a in range(len(p.area_rng)):
-                        for t in range(len(p.time_rng)):
-                            self.eval_vids[v, c, a, t] = None
                 continue
             dt_pack, gt_pack, frame_count = self._pack(vid_id, entry, p)
             ious = self._cell_ious(dt_pack, gt_pack, frame_count)
@@ -100,20 +98,19 @@ class DeviceTrackEval(TrackMapEvaluator):
                 has = bool(out["cell_valid"][c, 0, 0])
                 cat_present[c] = has
             for c in range(len(cat_ids)):
+                if not cat_present[c]:
+                    continue
                 for a in range(len(p.area_rng)):
                     for t in range(len(p.time_rng)):
-                        if not cat_present[c]:
-                            self.eval_vids[v, c, a, t] = None
-                            continue
                         in_cell = out["dt_in_cell"][c, a, t]
-                        self.eval_vids[v, c, a, t] = {
+                        self.eval_vids[c, a, t].append({
                             "dt_matches":
                                 out["dt_matches"][c, a, t][:, in_cell],
                             "dt_ignore":
                                 out["dt_ignore"][c, a, t][:, in_cell],
                             "dt_scores": out["dt_scores"][in_cell],
                             "gt_ignore": out["gt_ignore"][c, a, t],
-                        }
+                        })
 
     def _pack(self, vid_id, entry, p):
         frames = sorted({ann["image_id"] for side in ("dt", "gt")

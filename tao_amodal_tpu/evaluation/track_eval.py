@@ -79,7 +79,7 @@ class TrackMapEvaluator:
         self.results = OrderedDict()
         self.eval = {}
         self._cells = {}      # (vid_id, cat_id) -> cell arrays
-        self.eval_vids = {}   # (v, c, a, t) -> per-range match results
+        self.eval_vids = {}   # (c, a, t) -> results in video order
         self.ious = {}        # (vid_id, cat_id) -> [D, G] matrix
 
     # ------------------------------------------------------------------
@@ -330,19 +330,20 @@ class TrackMapEvaluator:
 
         n_area = len(p.area_rng)
         n_time = len(p.time_rng)
-        self.eval_vids = {}
+        # Sparse per-(c, a, t) result lists in video order (absent
+        # cells are simply never appended): at real TAO scale a dense
+        # (videos x cats x ranges) structure is hundreds of millions of
+        # mostly-None entries.
+        self.eval_vids = defaultdict(list)
         for v, vid_id in enumerate(p.vid_ids):
             for c, cat_id in enumerate(cat_ids):
                 cell = self._cells.get((vid_id, cat_id))
                 if cell is None:
-                    for a in range(n_area):
-                        for t in range(n_time):
-                            self.eval_vids[v, c, a, t] = None
                     continue
                 results = self._match_cell_ranges(cell)
                 for a in range(n_area):
                     for t in range(n_time):
-                        self.eval_vids[v, c, a, t] = results[a, t]
+                        self.eval_vids[c, a, t].append(results[a, t])
 
     # ------------------------------------------------------------------
     # Accumulation + summary
@@ -370,11 +371,11 @@ class TrackMapEvaluator:
                            for a in range(num_area)}
                        for c in range(num_cats)}
 
+        del num_vids
         for c in range(num_cats):
             for a in range(num_area):
                 for t in range(num_time):
-                    E = [self.eval_vids[v, c, a, t] for v in range(num_vids)]
-                    E = [e for e in E if e is not None]
+                    E = self.eval_vids.get((c, a, t), ())
                     if not E:
                         continue
                     scores = np.concatenate([e["dt_scores"] for e in E])
