@@ -73,6 +73,21 @@ def greedy_match(ious, gt_ig, dt_ids, gt_ids, iou_thrs, unmatched=-1.0):
         return dt_m, gt_m, dt_igm
 
     thr = np.minimum(iou_thrs, _EPS_CAP)[:, None]  # [T,1]
+
+    # Fast path for the (very common) single-gt cell: per threshold the
+    # first score-ordered detection clearing it takes the gt.  Only
+    # valid when ids are positive (the ``> 0`` matched-test quirk can't
+    # fire) — exact otherwise.
+    if G == 1 and gt_ig[0] == 0 and dt_ids.min() > 0:
+        ok = ious[:, 0][None, :] >= thr            # [T, D]
+        has = ok.any(axis=1)
+        first = ok.argmax(axis=1)
+        t_idx = np.nonzero(has)[0]
+        d_idx = first[t_idx]
+        dt_m[t_idx, d_idx] = gt_ids[0]
+        gt_m[t_idx, 0] = dt_ids[d_idx]
+        return dt_m, gt_m, dt_igm
+
     is_real = (gt_ig == 0)[None, :]                # [1,G]
     # Detections that cannot clear the lowest threshold never match at
     # any threshold; skip them wholesale (big win on sparse matrices).
