@@ -55,6 +55,15 @@ class TrackMapEvaluator:
 
         if iou_type not in ("bbox", "segm"):
             raise ValueError(f"iou_type: {iou_type} is not supported.")
+        if iou_type == "segm":
+            # The reference's segm branch would itself crash (it unpacks
+            # RLE dicts as boxes, ``eval.py:306-335``); refusing loudly
+            # beats silently reporting bbox-based track mAP as "segm".
+            raise NotImplementedError(
+                "Track mAP over segmentation masks is not implemented "
+                "(the reference evaluator's segm branch is likewise "
+                "non-functional); use iou_type='bbox', or the per-frame "
+                "AmodalDetectionEvaluator which fully supports segm.")
 
         if isinstance(tao_gt, TaoDataset):
             self.tao_gt = tao_gt

@@ -199,8 +199,11 @@ int rle_from_poly(const double* xy, int k, int h, int w, uint32_t* out,
   const double scale = 5.0;
   std::vector<int64_t> x(k + 1), y(k + 1);
   for (int j = 0; j < k; ++j) {
-    x[j] = static_cast<int64_t>(std::floor(scale * xy[2 * j] + 0.5));
-    y[j] = static_cast<int64_t>(std::floor(scale * xy[2 * j + 1] + 0.5));
+    // C-cast truncation toward zero (pycocotools rleFrPoly uses '(int)'
+    // conversion, not floor) so negative out-of-frame amodal coordinates
+    // rasterize identically to the reference.
+    x[j] = static_cast<int64_t>(std::trunc(scale * xy[2 * j] + 0.5));
+    y[j] = static_cast<int64_t>(std::trunc(scale * xy[2 * j + 1] + 0.5));
   }
   x[k] = x[0];
   y[k] = y[0];
@@ -221,7 +224,7 @@ int rle_from_poly(const double* xy, int k, int h, int w, uint32_t* out,
         int64_t t = flip ? dx - d : d;
         u.push_back(t + xs);
         v.push_back(
-            static_cast<int64_t>(std::floor(ys + s * t + 0.5)));
+            static_cast<int64_t>(std::trunc(ys + s * t + 0.5)));
       }
     } else {
       double s = dy > 0 ? static_cast<double>(xe - xs) / dy : 0.0;
@@ -229,7 +232,7 @@ int rle_from_poly(const double* xy, int k, int h, int w, uint32_t* out,
         int64_t t = flip ? dy - d : d;
         v.push_back(t + ys);
         u.push_back(
-            static_cast<int64_t>(std::floor(xs + s * t + 0.5)));
+            static_cast<int64_t>(std::trunc(xs + s * t + 0.5)));
       }
     }
   }

@@ -340,8 +340,11 @@ def _fr_poly_numpy(xy, h, w):
     """
     scale = 5.0
     k = len(xy) // 2
-    x = np.floor(scale * xy[0::2] + 0.5).astype(np.int64)
-    y = np.floor(scale * xy[1::2] + 0.5).astype(np.int64)
+    # trunc, not floor: pycocotools rleFrPoly converts with a C '(int)'
+    # cast (truncation toward zero), which differs from floor for the
+    # negative coordinates of out-of-frame amodal polygons.
+    x = np.trunc(scale * xy[0::2] + 0.5).astype(np.int64)
+    y = np.trunc(scale * xy[1::2] + 0.5).astype(np.int64)
     x = np.append(x, x[0])
     y = np.append(y, y[0])
 
@@ -358,13 +361,13 @@ def _fr_poly_numpy(xy, h, w):
             d = np.arange(dx + 1)
             t = (dx - d) if flip else d
             us.append(t + xs)
-            vs.append(np.floor(ys + s * t + 0.5).astype(np.int64))
+            vs.append(np.trunc(ys + s * t + 0.5).astype(np.int64))
         else:
             s = (xe - xs) / dy if dy > 0 else 0.0
             d = np.arange(dy + 1)
             t = (dy - d) if flip else d
             vs.append(t + ys)
-            us.append(np.floor(xs + s * t + 0.5).astype(np.int64))
+            us.append(np.trunc(xs + s * t + 0.5).astype(np.int64))
     u = np.concatenate(us)
     v = np.concatenate(vs)
 

@@ -109,7 +109,12 @@ def sort_step(state: SortState, det_boxes, det_valid, max_age=1,
                            jnp.zeros_like(state.hit_streak),
                            state.hit_streak)
 
-    # Association: maximize IoU, forbid invalid pairs.
+    # Association: maximize IoU, forbid invalid pairs.  The auction is
+    # eps-approximate (eps=5e-5): two IoU payoffs closer than eps can
+    # pick a different pairing than exact Hungarian.  For bit-exact
+    # parity with the reference's scipy/lap path, associate on host with
+    # ops.hungarian.linear_assignment_host instead (the host SORT test
+    # oracle does exactly that).
     iou = _iou_matrix(det_boxes, trk_boxes)
     benefit = jnp.where(det_valid[:, None] & state.alive[None, :], iou,
                         NEG)

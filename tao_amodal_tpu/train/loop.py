@@ -78,6 +78,10 @@ class Trainer:
         """
         self.train_step = train_step
         self.state = init_state
+        # Pristine copy for the fail-safe path: if training crashes
+        # before any checkpoint exists, retry from a clean state rather
+        # than the mid-epoch partially-mutated one.
+        self._init_state = jax.tree_util.tree_map(lambda x: x, init_state)
         self.data_iter_fn = data_iter_fn
         self.config = config
         self.logger = logger or logging.getLogger("tao.train")
@@ -182,5 +186,9 @@ class Trainer:
                     "restoring latest checkpoint.")
                 if attempt >= retries:
                     raise
-                self.load_checkpoint()
+                if not self.load_checkpoint():
+                    # No checkpoint yet (crash inside the first epoch):
+                    # restart from the pristine initial state.
+                    self.state = self._init_state
+                    self.epoch = 0
         return self.state
