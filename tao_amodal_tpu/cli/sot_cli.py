@@ -198,7 +198,7 @@ def hp_search(build_tracker_fn, dataset, result_dir, grid):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--tracker", default="siamrpn",
-                   help="siamrpn | siamrpn_lt | eco | dimp")
+                   help="siamrpn | siamrpn_lt | eco | atom | dimp")
     p.add_argument("--dataset", required=True,
                    help="otb | vot | lasot | got10k | trackingnet")
     p.add_argument("--dataset_root", required=True)

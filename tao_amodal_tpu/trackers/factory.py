@@ -23,7 +23,7 @@ def register_tracker(name):
 
 
 def build_tracker(name, **kwargs):
-    """Known names: siamrpn, siamrpn_lt, dimp, eco, sort."""
+    """Known names: siamrpn, siamrpn_lt, dimp, atom, eco, sort."""
     if name not in _REGISTRY:
         raise KeyError(
             f"Unknown tracker '{name}'; available: {sorted(_REGISTRY)}")
@@ -60,6 +60,13 @@ def _build_eco(**kwargs):
     from tao_amodal_tpu.trackers.eco import EcoTracker
 
     return EcoTracker(**kwargs)
+
+
+@register_tracker("atom")
+def _build_atom(**kwargs):
+    from tao_amodal_tpu.trackers.atom import AtomTracker
+
+    return AtomTracker(**kwargs)
 
 
 @register_tracker("dimp")
