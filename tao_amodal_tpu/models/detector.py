@@ -75,12 +75,17 @@ class ClipDetector(nn.Module):
     pallas_pooling: bool = False
     # int8 post-training-quantized trunk (inference only).
     int8_backbone: bool = False
+    # Stem variant (see backbones.ResNet.stem); 's2d_pre' expects the
+    # clip already in space-to-depth layout [T, H/4, W/4, 48] from the
+    # fused Pallas preprocessing kernel.
+    stem: str = "classic"
     dtype: Any = jnp.float32
 
     def setup(self):
         self.backbone = ResNet(stage_sizes=tuple(self.backbone_stages),
                                out_stages=(2, 3, 4), dtype=self.dtype,
-                               int8=self.int8_backbone)
+                               int8=self.int8_backbone,
+                               stem=self.stem)
         self.fpn = FPN(self.features, num_extra_levels=2, dtype=self.dtype)
         self.rpn = RPNHead(num_anchors=len(self.anchor_ratios),
                            features=self.features, dtype=self.dtype)
@@ -128,9 +133,16 @@ class ClipDetector(nn.Module):
             "roi_features": feats[keep_safe] * valid[:, None],
         }
 
+    def image_hw_of(self, clip):
+        """Original image size: s2d_pre input is 4x-folded."""
+        h, w = clip.shape[1:3]
+        if self.stem == "s2d_pre":
+            return (h * 4, w * 4)
+        return (h, w)
+
     def __call__(self, clip, train=False):
         pyramid = self.features_for(clip, train=train)
-        image_hw = clip.shape[1:3]
+        image_hw = self.image_hw_of(clip)
 
         def per_frame(frame_pyramid):
             return self._frame_detect(frame_pyramid, image_hw)

@@ -32,16 +32,33 @@ class AmodalPipeline(NamedTuple):
     @staticmethod
     def create(num_classes=80, num_dets=64, dtype=jnp.float32,
                backbone_stages=(3, 4, 6, 3), num_proposals=128,
-               pallas_pooling=False, int8_backbone=False):
+               pallas_pooling=False, int8_backbone=False,
+               stem="classic"):
         return AmodalPipeline(
             detector=ClipDetector(num_classes=num_classes,
                                   num_dets=num_dets, dtype=dtype,
                                   num_proposals=num_proposals,
                                   backbone_stages=backbone_stages,
                                   pallas_pooling=pallas_pooling,
-                                  int8_backbone=int8_backbone),
+                                  int8_backbone=int8_backbone,
+                                  stem=stem),
             expander=AmodalExpander(dtype=dtype),
         )
+
+    def preprocess(self, frames, out_size=512, use_pallas=None):
+        """uint8 frames ``[T, H, W, 3]`` -> the tensor ``__call__``
+        consumes (s2d layout when the detector uses the s2d_pre stem).
+        Returns (clip, scale)."""
+        from tao_amodal_tpu.ops.pallas.preproc import (
+            preprocess_clip,
+            preprocess_clip_s2d,
+        )
+
+        if self.detector.stem == "s2d_pre":
+            return preprocess_clip_s2d(frames, out_size=out_size,
+                                       use_pallas=use_pallas)
+        return preprocess_clip(frames, out_size=out_size,
+                               use_pallas=use_pallas)
 
     def init(self, rng, clip):
         r1, r2 = jax.random.split(rng)
@@ -49,7 +66,7 @@ class AmodalPipeline(NamedTuple):
         D = self.detector.num_dets
         exp_vars = self.expander.init(
             r2, jnp.zeros((D, 1024)), jnp.zeros((D, 4)),
-            image_hw=clip.shape[1:3])
+            image_hw=self.detector.image_hw_of(clip))
         return {"detector": det_vars, "expander": exp_vars}
 
     def __call__(self, variables, clip, score_thr=0.05):
@@ -57,7 +74,7 @@ class AmodalPipeline(NamedTuple):
         det = self.detector.apply(variables["detector"], clip)
         amodal, _ = self.expander.apply(
             variables["expander"], det["roi_features"], det["boxes"],
-            image_hw=clip.shape[1:3])
+            image_hw=self.detector.image_hw_of(clip))
 
         det_valid = det["scores"] > score_thr
         state = init_sort(max_tracks=2 * self.detector.num_dets)
