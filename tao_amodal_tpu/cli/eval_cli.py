@@ -46,13 +46,28 @@ def default_arg_parser():
     parser.add_argument("--track_result", type=str, required=True)
     parser.add_argument("--output_log", type=str, required=True)
     parser.add_argument("--annotation", type=str, default=None)
+    parser.add_argument(
+        "--device_eval", action="store_true",
+        help="run the batched TPU/device evaluators (DeviceTrackEval /"
+             " DeviceDetectionEval) instead of the host path; metrics"
+             " and log output are identical")
     return parser
 
 
-def evaluate_detection(annotation, track_result, iou_type, logger):
+def evaluate_detection(annotation, track_result, iou_type, logger,
+                       device=False):
     """Amodal detection AP block (reference CLI :68-116)."""
     logger.info("Evaluating {} on LVIS...".format(track_result))
-    lvis_eval = AmodalDetectionEvaluator(annotation, track_result, iou_type)
+    if device:
+        from tao_amodal_tpu.evaluation.device_detection import (
+            DeviceDetectionEval,
+        )
+
+        lvis_eval = DeviceDetectionEval(annotation, track_result,
+                                        iou_type)
+    else:
+        lvis_eval = AmodalDetectionEvaluator(annotation, track_result,
+                                             iou_type)
     lvis_eval.run()
     lvis_eval.print_results()
 
@@ -68,7 +83,8 @@ def evaluate_detection(annotation, track_result, iou_type, logger):
     return results
 
 
-def evaluate_tracking(annotation, results_path, logger):
+def evaluate_tracking(annotation, results_path, logger,
+                      device=False):
     """Track-mAP block (reference CLI :118-151)."""
     logger.setLevel(logging.INFO)
     results = {}
@@ -78,7 +94,16 @@ def evaluate_tracking(annotation, results_path, logger):
         result_anns = json.load(f)
     make_track_ids_unique(result_anns)
     logger.info("Building")
-    tao_eval = TrackMapEvaluator(annotation, result_anns, logger=logger)
+    if device:
+        from tao_amodal_tpu.evaluation.device_eval import (
+            DeviceTrackEval,
+        )
+
+        tao_eval = DeviceTrackEval(annotation, result_anns,
+                                   logger=logger)
+    else:
+        tao_eval = TrackMapEvaluator(annotation, result_anns,
+                                     logger=logger)
     logger.info("Done")
     tao_eval.run()
     tao_eval.print_results()
@@ -112,8 +137,9 @@ def main(argv=None):
     logger.addHandler(logging.FileHandler(output_log, mode="w"))
 
     det = evaluate_detection(annotation, args.track_result, "bbox",
-                             logger=logger)
-    trk = evaluate_tracking(annotation, args.track_result, logger)
+                             logger=logger, device=args.device_eval)
+    trk = evaluate_tracking(annotation, args.track_result, logger,
+                            device=args.device_eval)
     return det, trk
 
 

@@ -98,6 +98,9 @@ class DeviceDetectionEval(AmodalDetectionEvaluator):
     """AmodalDetectionEvaluator with per-image cells on device."""
 
     def evaluate(self):
+        self.logger.info("Running per image evaluation.")
+        self.logger.info(
+            "Evaluate annotation type *{}*".format(self.params.iou_type))
         p = self.params
         p.img_ids = list(np.unique(p.img_ids))
         cat_ids = p.cat_ids if p.use_cats else [-1]

@@ -60,6 +60,9 @@ class DeviceTrackEval(TrackMapEvaluator):
 
     def evaluate(self, show_progress=False):
         del show_progress
+        self.logger.info("Running per video evaluation.")
+        self.logger.info(
+            "Evaluate annotation type *{}*".format(self.params.iou_type))
         p = self.params
         p.vid_ids = list(np.unique(p.vid_ids))
         cat_ids = p.cat_ids if p.use_cats else [-1]
