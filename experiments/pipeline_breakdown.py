@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""End-to-end pipeline breakdown on the real chip: where do the
+12.8 ms/clip go after the s2d stem landed?"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from tao_amodal_tpu.pipeline import AmodalPipeline
+
+INNER = 16
+T, H, W = 16, 512, 512
+DT = jnp.bfloat16
+
+
+def timed_once(fn, *args):
+    jax.block_until_ready(fn(*args))
+
+    @jax.jit
+    def tiny(x):
+        return x + 1.0
+
+    float(tiny(jnp.zeros((), jnp.float32)))
+
+    def roundtrip():
+        s = time.perf_counter()
+        float(tiny(jnp.zeros((), jnp.float32)))
+        return time.perf_counter() - s
+
+    rt = min(roundtrip() for _ in range(3))
+
+    def block():
+        s = time.perf_counter()
+        out = fn(*args)
+        float(jnp.asarray(out).astype(jnp.float32).ravel()[0])
+        return time.perf_counter() - s
+
+    return (sorted(block() for _ in range(5))[2] - rt) / INNER
+
+
+def main():
+    print("devices:", jax.devices())
+    pipeline = AmodalPipeline.create(
+        num_classes=80, num_dets=64, num_proposals=128,
+        backbone_stages=(3, 4, 6, 3), dtype=DT, stem="s2d_pre")
+    det = pipeline.detector
+
+    rs = np.random.RandomState(0)
+    frames = jnp.asarray(rs.randint(0, 255, (T, H, W, 3), np.uint8))
+    clip, _ = pipeline.preprocess(frames, out_size=H)
+    clip = clip.astype(DT)
+    variables = pipeline.init(jax.random.PRNGKey(0), clip)
+    det_vars = variables["detector"]
+
+    def chain(fn, x):
+        @jax.jit
+        def run(x0):
+            def body(i, c):
+                out = fn(x0)
+                leaves = jax.tree_util.tree_leaves(out)
+                return c + leaves[0].astype(jnp.float32).ravel()[0] \
+                    * 1e-6
+            return jax.lax.fori_loop(0, INNER, body, jnp.zeros(()))
+        return timed_once(run, x)
+
+    # 1. preproc only
+    t = chain(lambda fr: pipeline.preprocess(fr, out_size=H)[0],
+              frames)
+    print(f"preproc (fused s2d)        : {t*1e3:7.3f} ms/clip")
+
+    # 2. backbone only
+    t = chain(lambda c: det.apply(det_vars, c,
+                                  method=lambda m, x: m.backbone(x)),
+              clip)
+    print(f"backbone (r50, s2d stem)   : {t*1e3:7.3f} ms/clip")
+
+    # 3. backbone + fpn
+    t = chain(lambda c: det.apply(det_vars, c,
+                                  method=lambda m, x:
+                                  m.features_for(x)), clip)
+    print(f"backbone + FPN             : {t*1e3:7.3f} ms/clip")
+
+    # 4. full detector
+    t = chain(lambda c: det.apply(det_vars, c), clip)
+    print(f"detector (=3 + RPN/RoI/NMS): {t*1e3:7.3f} ms/clip")
+
+    # 5. full pipeline incl. expander + SORT
+    t = chain(lambda c: pipeline(variables, c), clip)
+    print(f"pipeline (=4 + expand+SORT): {t*1e3:7.3f} ms/clip")
+
+
+if __name__ == "__main__":
+    main()

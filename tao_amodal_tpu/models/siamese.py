@@ -170,6 +170,8 @@ class SiameseTracker(nn.Module):
     features: int = 256
     num_levels: int = 3
     with_mask: bool = False
+    with_refine: bool = False
+    mask_output_size: int = 127
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -188,6 +190,9 @@ class SiameseTracker(nn.Module):
             "loc_weight", nn.initializers.ones, (self.num_levels,))
         if self.with_mask:
             self.mask_head = MaskHead(dtype=self.dtype)
+        if self.with_refine:
+            self.refine_head = RefineHead(
+                out_size=self.mask_output_size, dtype=self.dtype)
 
     def extract(self, img, train=False, is_template=False):
         feats = self.backbone(img, train=train)
@@ -220,3 +225,12 @@ class SiameseTracker(nn.Module):
             out["mask"] = mask
             out["mask_corr"] = corr
         return out
+
+    def refine(self, corr_feature, pos_yx):
+        """Refined mask logits at one response position (reference
+        ``model.mask_refine(pos)``, used by SiamMaskTracker).
+
+        Args: corr_feature ``[B, H, W, C]``, pos_yx ``[B, 2]`` int.
+        Returns ``[B, out, out]`` logits.
+        """
+        return self.refine_head(corr_feature, pos_yx)

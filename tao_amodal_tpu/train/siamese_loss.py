@@ -36,7 +36,56 @@ def weighted_l1(pred_delta, target_delta, pos_weight):
     return jnp.sum(diff.sum(axis=-1) * pos_weight)
 
 
-def siamese_loss(outputs, targets, cls_weight=1.0, loc_weight=1.2):
+def select_mask_logistic_loss(mask_logits, gt_mask, pos_weight,
+                              stride=8, patch=127, down=2):
+    """SiamMask mask loss: soft-margin (logistic) loss on the mask
+    patches at positive response locations.
+
+    NOTE: the vendored reference leaves this unimplemented
+    (``pysot/models/model_builder.py:110-114`` sets ``mask_loss =
+    None`` with a TODO); this follows the SiamMask paper's formulation
+    the stub was meant to hold: each response location (y, x) predicts
+    a ``(patch/down)^2`` mask of the ``patch``-sized search-image
+    window centred at its receptive-field centre; the loss is the
+    per-pixel logistic loss averaged over the patch and over positive
+    locations.
+
+    Args:
+      mask_logits: ``[B, S, S, P*P]`` per-location mask logits, where
+        ``P = (patch + 1) // down``.
+      gt_mask: ``[B, Hs, Ws]`` binary target mask in search-image
+        coords.
+      pos_weight: ``[B, S, S]`` nonnegative weights (positive anchor
+        locations, normalized); zero rows contribute nothing.
+
+    Returns scalar loss.
+    """
+    B, S, _, PP = mask_logits.shape
+    P = int(round(PP ** 0.5))
+    Hs = gt_mask.shape[1]
+    # Downsample the GT mask, then extract a P x P window per response
+    # location (stride/down apart) as one patches op.
+    g = jax.image.resize(gt_mask, (B, Hs // down, Hs // down),
+                         method="nearest")
+    eff_stride = stride // down
+    span = (S - 1) * eff_stride + P
+    pad_total = max(0, span - g.shape[1])
+    lo = pad_total // 2
+    g = jnp.pad(g, ((0, 0), (lo, pad_total - lo),
+                    (lo, pad_total - lo)))
+    patches = jax.lax.conv_general_dilated_patches(
+        g[..., None], filter_shape=(P, P),
+        window_strides=(eff_stride, eff_stride), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # [B, S, S, P*P]
+    sign = 2.0 * patches - 1.0
+    # log(1 + exp(-sign * logit)), averaged over patch pixels.
+    per_loc = jnp.mean(jax.nn.softplus(-sign * mask_logits), axis=-1)
+    return jnp.sum(per_loc * pos_weight) / jnp.maximum(
+        jnp.sum(pos_weight), 1e-6)
+
+
+def siamese_loss(outputs, targets, cls_weight=1.0, loc_weight=1.2,
+                 mask_weight=36.0):
     """Total loss for one batch (already vmapped/meaned by caller).
 
     Args:
@@ -62,4 +111,14 @@ def siamese_loss(outputs, targets, cls_weight=1.0, loc_weight=1.2):
     cls_loss = jnp.mean(cls_losses)
     loc_loss = jnp.mean(loc_losses)
     total = cls_weight * cls_loss + loc_weight * loc_loss
-    return total, {"cls_loss": cls_loss, "loc_loss": loc_loss}
+    stats = {"cls_loss": cls_loss, "loc_loss": loc_loss}
+
+    if "mask" in outputs and "mask_label" in targets:
+        # Per-location positive weights: max over anchors at each
+        # location ((A, S*S) anchor-major flattening -> [B, S, S]).
+        pw = targets["pos_weight"].reshape(B, A, S, S).max(axis=1)
+        mask_loss = select_mask_logistic_loss(
+            outputs["mask"], targets["mask_label"], pw)
+        total = total + mask_weight * mask_loss
+        stats["mask_loss"] = mask_loss
+    return total, stats

@@ -167,8 +167,10 @@ def make_fixture(seed=0, num_videos=6, frames_per_video=24, num_cats=9,
                 "video_id": v,
             })
 
-    # Pure false positives (some in neg/nel categories).
-    for _ in range(extra_fp * num_videos):
+    # Pure false positives (some in neg/nel categories).  Track ids are
+    # unique per FP (a same-video id collision across categories is
+    # invalid input — the results API asserts one category per track).
+    for fp_idx in range(extra_fp * num_videos):
         v = int(rng.randint(1, num_videos + 1))
         f = int(rng.randint(0, frames_per_video))
         imid = (v - 1) * frames_per_video + f + 1
@@ -180,7 +182,7 @@ def make_fixture(seed=0, num_videos=6, frames_per_video=24, num_cats=9,
                      float(rng.uniform(0, H - 60)),
                      float(rng.uniform(10, 60)), float(rng.uniform(10, 60))],
             "score": float(np.round(rng.uniform(0.05, 0.9), 2)),
-            "track_id": 50000 + int(rng.randint(0, 10_000)),
+            "track_id": 5_000_000 + fp_idx,
             "video_id": v,
         })
 
