@@ -60,6 +60,26 @@ def run_vot_protocol(tracker, dataset, result_dir,
         overlap_ratio,
     )
 
+    def frame_overlap(tracker, box, gt_box, img_hw):
+        """Overlap for the restart test: polygon-vs-rect via the
+        native VOT region kernel when the tracker emits polygons
+        (SiamMask), else axis-aligned IoU (reference ``tools/test.py``
+        uses ``vot_overlap`` the same way)."""
+        poly = getattr(tracker, "last_polygon", None)
+        if poly is not None:
+            try:
+                from tao_amodal_tpu.native.lib import load as _load
+
+                x, y, w, h = map(float, gt_box)
+                gt_poly = [x, y, x + w, y, x + w, y + h, x, y + h]
+                return float(_load().polygon_overlap(
+                    np.asarray(poly, np.float64), gt_poly,
+                    bounds=(img_hw[1], img_hw[0])))
+            except Exception:  # noqa: BLE001 (no native lib -> rect)
+                pass
+        return float(overlap_ratio(np.asarray([gt_box]),
+                                   np.asarray([box]))[0])
+
     out_dir = os.path.join(result_dir, tracker_name, "baseline")
     os.makedirs(out_dir, exist_ok=True)
     summary = {}
@@ -77,10 +97,10 @@ def run_vot_protocol(tracker, dataset, result_dir,
             traj.append([1.0])
             f += 1
             while f < T:
-                box, score = tracker.update(frame(f))
-                ov = float(overlap_ratio(
-                    np.asarray([seq.gt_boxes[f]]),
-                    np.asarray([box]))[0])
+                img = frame(f)
+                box, score = tracker.update(img)
+                ov = frame_overlap(tracker, box, seq.gt_boxes[f],
+                                   img.shape[:2])
                 if ov <= fail_overlap:
                     traj.append([2.0])
                     for _ in range(skip_after_failure - 1):

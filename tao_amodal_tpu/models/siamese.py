@@ -226,6 +226,17 @@ class SiameseTracker(nn.Module):
             out["mask_corr"] = corr
         return out
 
+    def full_init(self, template, search):
+        """Initialization helper touching EVERY submodule (flax only
+        creates params for executed modules; the refine head is not on
+        the ``train`` path, so plain init would miss it)."""
+        out = self(template=template, search=search, mode="train",
+                   train=True)
+        if self.with_refine:
+            pos = jnp.zeros((out["mask_corr"].shape[0], 2), jnp.int32)
+            out["refined"] = self.refine(out["mask_corr"], pos)
+        return out
+
     def refine(self, corr_feature, pos_yx):
         """Refined mask logits at one response position (reference
         ``model.mask_refine(pos)``, used by SiamMaskTracker).

@@ -69,6 +69,23 @@ def _build_atom(**kwargs):
     return AtomTracker(**kwargs)
 
 
+@register_tracker("siammask")
+def _build_siammask(params=None, config=None, seed=0, **kwargs):
+    from tao_amodal_tpu.models.siamese import SiameseTracker
+    from tao_amodal_tpu.trackers.siammask import SiamMaskTracker
+    from tao_amodal_tpu.trackers.siamrpn import SiamConfig
+
+    cfg = config or SiamConfig()
+    model = SiameseTracker(num_levels=3, with_mask=True,
+                           with_refine=True, **kwargs)
+    if params is None:
+        z = jnp.zeros((1, cfg.exemplar_size, cfg.exemplar_size, 3))
+        x = jnp.zeros((1, cfg.instance_size, cfg.instance_size, 3))
+        params = model.init(jax.random.PRNGKey(seed), z, x,
+                            method="full_init")
+    return SiamMaskTracker(model, params, cfg)
+
+
 @register_tracker("dimp")
 def _build_dimp(extractor_fn=None, iou_net=None, iou_variables=None,
                 **kwargs):

@@ -63,16 +63,19 @@ def select_mask_logistic_loss(mask_logits, gt_mask, pos_weight,
     B, S, _, PP = mask_logits.shape
     P = int(round(PP ** 0.5))
     Hs = gt_mask.shape[1]
-    # Downsample the GT mask, then extract a P x P window per response
-    # location (stride/down apart) as one patches op.
-    g = jax.image.resize(gt_mask, (B, Hs // down, Hs // down),
-                         method="nearest")
+    # Downsample the GT mask, then extract one P x P window per
+    # response location, CENTERED like the receptive field: location i
+    # has center Hd/2 + (i - (S-1)/2) * stride/down.
+    Hd = Hs // down
+    g = jax.image.resize(gt_mask, (B, Hd, Hd), method="nearest")
     eff_stride = stride // down
+    base = int(round(Hd / 2 - (S - 1) / 2 * eff_stride - P / 2))
     span = (S - 1) * eff_stride + P
-    pad_total = max(0, span - g.shape[1])
-    lo = pad_total // 2
-    g = jnp.pad(g, ((0, 0), (lo, pad_total - lo),
-                    (lo, pad_total - lo)))
+    pad_lo = max(0, -base)
+    pad_hi = max(0, base + span - Hd)
+    g = jnp.pad(g, ((0, 0), (pad_lo, pad_hi), (pad_lo, pad_hi)))
+    off = base + pad_lo
+    g = g[:, off:off + span, off:off + span]
     patches = jax.lax.conv_general_dilated_patches(
         g[..., None], filter_shape=(P, P),
         window_strides=(eff_stride, eff_stride), padding="VALID",
