@@ -81,3 +81,19 @@ def test_sharded_sampler_partitions():
     # Different epochs shuffle differently.
     assert not np.array_equal(samplers[0].epoch_indices(0),
                               samplers[0].epoch_indices(1))
+
+
+def test_multiprocess_mesh_smoke():
+    """REAL jax.distributed 2-process CPU run (not fake indices):
+    cross-process global arrays + reduction + sampler sharding."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [sys.executable, str(repo / "tools" / "multiprocess_smoke.py")],
+        capture_output=True, text=True, timeout=600,
+        env={**__import__("os").environ, "SMOKE_PORT": "54417"})
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "2/2 workers OK" in proc.stdout
