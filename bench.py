@@ -63,8 +63,14 @@ def main():
         # truly executed (the remote TPU tunnel is deeply async:
         # block_until_ready alone under-measures, and repeated
         # identical inputs can be served from a replay cache).
+        # Sum EVERY output head (incl. track_ids/valid) — otherwise
+        # XLA dead-code-eliminates the SORT association entirely and
+        # the number silently excludes tracking.
         return (out["scores"].sum()
-                + out["boxes"].sum().astype(jnp.float32))
+                + out["boxes"].sum().astype(jnp.float32)
+                + out["track_ids"].sum().astype(jnp.float32)
+                + out["valid"].sum().astype(jnp.float32)
+                + out["classes"].sum().astype(jnp.float32))
 
     # Compile + warm up (forced by host fetch).
     float(run(clips[0]))

@@ -113,7 +113,8 @@ class ClipDetector(nn.Module):
         pooled = multilevel_roi_align(
             pyramid[:4], props, out_size=7, canonical_level=1,
             strides=self.strides[:4],
-            method="prroi_pallas" if self.pallas_pooling else "prroi")
+            method=("prroi_pallas" if self.pallas_pooling
+                    else "prroi_packed"))
         logits, box_deltas, feats = self.box_head(pooled)
         probs = jax.nn.softmax(logits, axis=-1)[:, 1:]  # drop background
         boxes = decode_deltas(props, box_deltas)

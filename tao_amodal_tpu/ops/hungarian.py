@@ -97,6 +97,52 @@ def auction_assign(benefit, eps=5e-5, floor=-1e-3, max_iters=200_000):
     return row_to_col
 
 
+@jax.jit
+def greedy_assign(benefit):
+    """Sequential-greedy matching (global max first), computed in
+    parallel rounds of *mutual-best* pairing.
+
+    Each round simultaneously matches every (row, col) pair that are
+    each other's argmax among the unmatched — a set that always
+    contains the current global maximum and whose members cannot
+    interfere, so the fixpoint equals the sequential greedy matching.
+    Rounds needed = length of the longest "next-best" chain (typically
+    < 5); every round is dense max/argmax work, no serial N-step scan.
+
+    Greedy differs from Hungarian only when taking a locally-best pair
+    forces a worse total — rare under IoU gating; SORT exposes both
+    (``assignment=`` parameter) and the tests quantify agreement.
+
+    Returns ``row_to_col [N]`` int32, -1 unassigned.
+    """
+    n, m = benefit.shape
+    if n == 0 or m == 0:
+        return jnp.full((n,), -1, jnp.int32)
+    b0 = jnp.where(benefit > NEG / 2, benefit.astype(jnp.float32), NEG)
+
+    def cond(carry):
+        b, r2c, it = carry
+        return jnp.any(jnp.max(b, axis=1) > NEG / 2) & (it < n)
+
+    def body(carry):
+        b, r2c, it = carry
+        best_col = jnp.argmax(b, axis=1)             # [n]
+        best_val = jnp.max(b, axis=1)
+        best_row = jnp.argmax(b, axis=0)             # [m]
+        mutual = ((best_row[best_col] == jnp.arange(n))
+                  & (best_val > NEG / 2))
+        r2c = jnp.where(mutual, best_col.astype(jnp.int32), r2c)
+        col_taken = jnp.zeros((m,), bool).at[
+            jnp.where(mutual, best_col, m)].set(True, mode="drop")
+        b = jnp.where(mutual[:, None] | col_taken[None, :], NEG, b)
+        return b, r2c, it + 1
+
+    _, r2c, _ = jax.lax.while_loop(
+        cond, body, (b0, jnp.full((n,), -1, jnp.int32),
+                     jnp.zeros((), jnp.int32)))
+    return r2c
+
+
 def linear_assignment_host(cost):
     """Exact Hungarian via scipy (host), minimizing cost.
 

@@ -79,8 +79,12 @@ def prroi_pool(features, rois, out_size=7, spatial_scale=1.0):
 
     wx = axis_w(x0, bw, W).astype(features.dtype)  # [R, out, W]
     wy = axis_w(y0, bh, H).astype(features.dtype)  # [R, out, H]
+    # The [R, out, W, C] intermediate is the op's HBM cost (58 MB/frame
+    # at P3 for 128 rois); accumulate in f32 on the MXU but STORE it in
+    # the feature dtype — halves the traffic for bf16 pyramids.
     tmp = jnp.einsum("ryh,hwc->rywc", wy, features,
                      preferred_element_type=jnp.float32)
+    tmp = tmp.astype(features.dtype)
     out = jnp.einsum("rxw,rywc->ryxc", wx, tmp,
                      preferred_element_type=jnp.float32)
     return out / (bw * bh)[:, None, None, None]
@@ -157,18 +161,46 @@ def multilevel_roi_align(pyramid, rois, canonical_level=2,
                          strides=(4, 8, 16, 32), method="prroi"):
     """FPN-style level assignment + per-level RoI pooling.
 
-    TPU notes: rather than scattering rois to ragged per-level lists
-    (dynamic shapes), every roi is pooled AT EVERY level and a one-hot
-    level mask selects the result — redundant FLOPs on tiny pooled
-    tensors in exchange for a single static-shape XLA program.  The
-    default pooling is the matmul-form PrRoI integral (MXU work, no
-    gathers); ``method='align'`` uses sampling RoIAlign instead.
+    TPU notes: static-shape strategies instead of ragged per-level
+    lists —
+
+      * ``method='prroi_packed'`` (fastest): concatenate the pyramid
+        levels side-by-side into ONE zero-gapped canvas, rescale each
+        roi into its assigned level's sub-rectangle, and pool once.
+        Exactly equal to per-level pooling: the PrRoI hat weights have
+        +-1 pixel support and levels are separated by 2 zero columns,
+        so no cross-level bleed, and the per-level op's implicit
+        zero-pad edge semantics are preserved.  1x pooling cost vs the
+        4x of pool-at-every-level.
+      * ``method='prroi'``: pool every roi at EVERY level, one-hot
+        select — redundant FLOPs for a single static-shape program.
+      * ``method='align'``: sampling RoIAlign.
     """
     areas = jnp.maximum((rois[:, 2] - rois[:, 0])
                         * (rois[:, 3] - rois[:, 1]), 1e-6)
     target = jnp.floor(canonical_level
                        + jnp.log2(jnp.sqrt(areas) / canonical_size + 1e-8))
     target = jnp.clip(target, 0, len(pyramid) - 1).astype(jnp.int32)
+
+    if method == "prroi_packed":
+        gap = 2
+        H = max(f.shape[0] for f in pyramid)
+        offs = []
+        x = 0
+        for f in pyramid:
+            offs.append(x)
+            x += f.shape[1] + gap
+        C = pyramid[0].shape[-1]
+        packed = jnp.zeros((H, x - gap, C), pyramid[0].dtype)
+        for f, off in zip(pyramid, offs):
+            packed = jax.lax.dynamic_update_slice(
+                packed, f, (0, off, 0))
+        inv_stride = jnp.asarray([1.0 / s for s in strides],
+                                 jnp.float32)[target]       # [R]
+        off_x = jnp.asarray(offs, jnp.float32)[target]      # [R]
+        shift = jnp.stack([off_x, jnp.zeros_like(off_x)] * 2, axis=1)
+        rois_p = rois.astype(jnp.float32) * inv_stride[:, None] + shift
+        return prroi_pool(packed, rois_p, out_size, 1.0)
 
     if method == "prroi_pallas":
         from tao_amodal_tpu.ops.pallas.prroi import prroi_pool_pallas

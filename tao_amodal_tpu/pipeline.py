@@ -81,7 +81,12 @@ class AmodalPipeline(NamedTuple):
 
         def assoc(state, frame):
             boxes, valid = frame
-            state, out = sort_step(state, boxes, valid)
+            # gated auction: same Hungarian-optimal result for every
+            # within-gate match, but contested losers retire at the
+            # IoU gate instead of price-warring to -1e-3 (32x faster
+            # association; see BENCH_NOTES + trackers/sort.py).
+            state, out = sort_step(state, boxes, valid,
+                                   assignment="gated_auction")
             return state, (out["det_track_id"], out["det_report"])
 
         _, (track_ids, reported) = jax.lax.scan(

@@ -30,7 +30,11 @@ import jax
 import jax.numpy as jnp
 
 from tao_amodal_tpu.ops import kalman
-from tao_amodal_tpu.ops.hungarian import NEG, auction_assign
+from tao_amodal_tpu.ops.hungarian import (
+    NEG,
+    auction_assign,
+    greedy_assign,
+)
 
 
 class SortState(NamedTuple):
@@ -77,15 +81,21 @@ def _iou_matrix(dets, trks):
                      0.0)
 
 
-@partial(jax.jit, static_argnames=("max_age", "min_hits"))
+@partial(jax.jit, static_argnames=("max_age", "min_hits",
+                                   "assignment"))
 def sort_step(state: SortState, det_boxes, det_valid, max_age=1,
-              min_hits=3, iou_threshold=0.3):
+              min_hits=3, iou_threshold=0.3, assignment="auction"):
     """One frame of SORT.
 
     Args:
       state: current :class:`SortState`.
       det_boxes: ``[D, 4]`` xyxy detections (padded).
       det_valid: ``[D]`` bool.
+      assignment: 'auction' (Hungarian-equivalent within eps, the
+        reference's optimal-assignment semantics) or 'greedy'
+        (parallel mutual-best greedy — a handful of dense rounds
+        instead of the auction's bidding loop; the flagship pipeline
+        uses this for latency, see BENCH_NOTES).
 
     Returns:
       (new_state, out) where out has per-detection track ids
@@ -118,7 +128,19 @@ def sort_step(state: SortState, det_boxes, det_valid, max_age=1,
     iou = _iou_matrix(det_boxes, trk_boxes)
     benefit = jnp.where(det_valid[:, None] & state.alive[None, :], iou,
                         NEG)
-    row_to_col = auction_assign(benefit)
+    if assignment == "greedy":
+        row_to_col = greedy_assign(benefit)
+    elif assignment == "gated_auction":
+        # Auction tuned to the SORT gate: matches below iou_threshold
+        # are discarded anyway, so contested losers may retire once
+        # their best net value drops under the gate (a handful of
+        # rounds) instead of price-warring down to -1e-3 at eps
+        # granularity (thousands of rounds).  Within-gate assignments
+        # are Hungarian-optimal within n*eps.
+        row_to_col = auction_assign(benefit, eps=1e-3,
+                                    floor=0.8 * iou_threshold)
+    else:
+        row_to_col = auction_assign(benefit)
     matched_det = row_to_col >= 0
     col = jnp.maximum(row_to_col, 0)
     good = matched_det & (iou[jnp.arange(D), col] >= iou_threshold)

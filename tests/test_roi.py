@@ -127,3 +127,31 @@ def test_multilevel_roi_align_levels():
                                canonical_size=64.0)
     assert float(out[0].mean()) == 0.0   # level 0
     assert float(out[1].mean()) == 1.0   # level 1
+
+
+def test_packed_multilevel_matches_per_level():
+    """prroi_packed == pool-at-every-level + one-hot select, exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tao_amodal_tpu.ops.roi import multilevel_roi_align
+
+    rs = np.random.RandomState(0)
+    strides = (8, 16, 32, 64)
+    pyramid = [jnp.asarray(rs.randn(64 * 8 // s, 64 * 8 // s, 32),
+                           jnp.float32) for s in strides]
+    # Rois spanning all level assignments (small to huge).
+    R = 24
+    sz = rs.uniform(16, 480, R)
+    x0 = rs.uniform(0, 512 - 16, R)
+    y0 = rs.uniform(0, 512 - 16, R)
+    rois = jnp.asarray(np.stack(
+        [x0, y0, np.minimum(x0 + sz, 512), np.minimum(y0 + sz, 512)],
+        axis=1), jnp.float32)
+
+    ref = multilevel_roi_align(pyramid, rois, canonical_level=1,
+                               strides=strides, method="prroi")
+    got = multilevel_roi_align(pyramid, rois, canonical_level=1,
+                               strides=strides, method="prroi_packed")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -98,3 +98,95 @@ def test_sort_ignores_low_iou_matches():
     ids = set(out[:, 4].tolist())
     assert len(ids) == len(out)
     assert out.shape[0] >= 1
+
+
+def test_greedy_assign_matches_sequential_greedy():
+    """Parallel mutual-best rounds == sequential global-max greedy."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tao_amodal_tpu.ops.hungarian import NEG, greedy_assign
+
+    rs = np.random.RandomState(0)
+    for trial in range(30):
+        n, m = rs.randint(1, 12), rs.randint(1, 12)
+        b = rs.rand(n, m)
+        b[rs.rand(n, m) < 0.3] = NEG  # forbidden entries
+
+        # Sequential greedy spec.
+        bb = b.copy()
+        want = np.full(n, -1, np.int64)
+        while True:
+            i, j = np.unravel_index(np.argmax(bb), bb.shape)
+            if bb[i, j] <= NEG / 2:
+                break
+            want[i] = j
+            bb[i, :] = NEG
+            bb[:, j] = NEG
+        got = np.asarray(greedy_assign(jnp.asarray(b)))
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
+
+
+def test_gated_auction_matches_full_auction_on_tracking_instances():
+    """The pipeline's gated auction (floor at the IoU gate, coarse eps)
+    must agree with the exact auction on realistic association
+    matrices: detections near their own track, occasional crossovers."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tao_amodal_tpu.ops.hungarian import NEG, auction_assign
+
+    rs = np.random.RandomState(1)
+    same = total = 0
+    for _ in range(15):
+        n = 12
+        # Tracks on a grid; detections jittered copies (+2 clutter).
+        trk = np.stack([rs.uniform(0, 400, n), rs.uniform(0, 400, n),
+                        rs.uniform(30, 80, n), rs.uniform(30, 80, n)],
+                       1)
+        det = trk.copy()
+        det[:, :2] += rs.uniform(-10, 10, (n, 2))
+        det[:, 2:] *= rs.uniform(0.85, 1.15, (n, 2))
+
+        def iou_mat(d, t):
+            x0 = np.maximum(d[:, None, 0], t[None, :, 0])
+            y0 = np.maximum(d[:, None, 1], t[None, :, 1])
+            x1 = np.minimum(d[:, None, 0] + d[:, None, 2],
+                            t[None, :, 0] + t[None, :, 2])
+            y1 = np.minimum(d[:, None, 1] + d[:, None, 3],
+                            t[None, :, 1] + t[None, :, 3])
+            inter = np.maximum(x1 - x0, 0) * np.maximum(y1 - y0, 0)
+            union = (d[:, None, 2] * d[:, None, 3]
+                     + t[None, :, 2] * t[None, :, 3] - inter)
+            return inter / np.maximum(union, 1e-9)
+
+        iou = iou_mat(det, trk)
+        b = jnp.asarray(np.where(iou > 0, iou, NEG))
+        exact = np.asarray(auction_assign(b))
+        gated = np.asarray(auction_assign(b, eps=1e-3, floor=0.24))
+        for i in range(n):
+            ei = exact[i] if (exact[i] >= 0
+                              and iou[i, exact[i]] >= 0.3) else -1
+            gi = gated[i] if (gated[i] >= 0
+                              and iou[i, gated[i]] >= 0.3) else -1
+            same += ei == gi
+            total += 1
+    assert same / total >= 0.99, same / total
+
+
+def test_sort_step_greedy_mode_runs():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tao_amodal_tpu.trackers.sort import init_sort, sort_step
+
+    rs = np.random.RandomState(2)
+    state = init_sort(max_tracks=16)
+    boxes = jnp.asarray(rs.rand(8, 4) * 100, jnp.float32)
+    boxes = boxes.at[:, 2:].set(boxes[:, :2] + 20)
+    valid = jnp.ones((8,), bool)
+    for _ in range(3):
+        state, out = sort_step(state, boxes, valid,
+                               assignment="greedy")
+    assert int(jnp.sum(state.alive)) == 8
+    assert np.all(np.asarray(out["det_track_id"]) > 0)
