@@ -82,13 +82,64 @@ def predict(x, P):
     return x, P
 
 
+def _inv4x4(m):
+    """Closed-form batched 4x4 inverse (pair-of-2x2-subdeterminants
+    expansion) — pure vectorized elementwise math.  ``linalg.inv`` on
+    ``[K, 4, 4]`` lowers to batched LU with serial triangular solves,
+    which is latency-bound on TPU (measured: dominates the whole SORT
+    scan); this form is ~40 flops/matrix of VPU work."""
+    a = m[..., 0, 0]; b = m[..., 0, 1]; c = m[..., 0, 2]; d = m[..., 0, 3]  # noqa: E702
+    e = m[..., 1, 0]; f = m[..., 1, 1]; g = m[..., 1, 2]; h = m[..., 1, 3]  # noqa: E702
+    i = m[..., 2, 0]; j = m[..., 2, 1]; k = m[..., 2, 2]; l = m[..., 2, 3]  # noqa: E702,E741
+    mm = m[..., 3, 0]; n = m[..., 3, 1]; o = m[..., 3, 2]; p = m[..., 3, 3]  # noqa: E702
+
+    s0 = a * f - e * b
+    s1 = a * g - e * c
+    s2 = a * h - e * d
+    s3 = b * g - f * c
+    s4 = b * h - f * d
+    s5 = c * h - g * d
+    c5 = k * p - o * l
+    c4 = j * p - n * l
+    c3 = j * o - n * k
+    c2 = i * p - mm * l
+    c1 = i * o - mm * k
+    c0 = i * n - mm * j
+
+    det = s0 * c5 - s1 * c4 + s2 * c3 + s3 * c2 - s4 * c1 + s5 * c0
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1.0)
+
+    r00 = (f * c5 - g * c4 + h * c3)
+    r01 = (-b * c5 + c * c4 - d * c3)
+    r02 = (n * s5 - o * s4 + p * s3)
+    r03 = (-j * s5 + k * s4 - l * s3)
+    r10 = (-e * c5 + g * c2 - h * c1)
+    r11 = (a * c5 - c * c2 + d * c1)
+    r12 = (-mm * s5 + o * s2 - p * s1)
+    r13 = (i * s5 - k * s2 + l * s1)
+    r20 = (e * c4 - f * c2 + h * c0)
+    r21 = (-a * c4 + b * c2 - d * c0)
+    r22 = (mm * s4 - n * s2 + p * s0)
+    r23 = (-i * s4 + j * s2 - l * s0)
+    r30 = (-e * c3 + f * c1 - g * c0)
+    r31 = (a * c3 - b * c1 + c * c0)
+    r32 = (-mm * s3 + n * s1 - o * s0)
+    r33 = (i * s3 - j * s1 + k * s0)
+
+    rows = [jnp.stack([r00, r01, r02, r03], axis=-1),
+            jnp.stack([r10, r11, r12, r13], axis=-1),
+            jnp.stack([r20, r21, r22, r23], axis=-1),
+            jnp.stack([r30, r31, r32, r33], axis=-1)]
+    return jnp.stack(rows, axis=-2) * inv_det[..., None, None]
+
+
 def update(x, P, z, gate=None):
     """Measurement update; ``gate[K]`` False freezes a slot (no det)."""
     _, H, R, _, _ = _constants(x.dtype)
     y = z - jnp.einsum("ij,...j->...i", H, x)
     S = jnp.einsum("ij,...jk,lk->...il", H, P, H) + R
     K = jnp.einsum("...ij,kj,...kl->...il", P,
-                   H, jnp.linalg.inv(S))
+                   H, _inv4x4(S))
     x_new = x + jnp.einsum("...ij,...j->...i", K, y)
     I_KH = (jnp.eye(DIM_X, dtype=x.dtype)
             - jnp.einsum("...ij,jk->...ik", K, H))
