@@ -64,20 +64,54 @@ def encode_deltas(anchors, boxes):
 
 
 class RPNHead(nn.Module):
-    """Shared objectness/delta tower applied per pyramid level."""
+    """Shared objectness/delta tower applied per pyramid level.
+
+    ``packed=True`` concatenates the levels into ONE zero-gapped
+    canvas and runs the tower once — exactly equal to the per-level
+    application (the 3x3 SAME conv's zero padding at each level edge
+    is reproduced by the >=2-px zero gaps).  Measured on v5e it is ~4%
+    slower end-to-end than the per-level form (the canvas copy +
+    output slicing outweigh the dispatch savings), so the default
+    stays per-level; the packed path is kept for parity testing and
+    narrower-level workloads.
+    """
 
     num_anchors: int = 3
     features: int = 256
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feats):
+    def __call__(self, feats, packed=False):
         conv = nn.Conv(self.features, (3, 3), padding="SAME",
                        dtype=self.dtype, name="tower")
         obj_head = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype,
                            name="obj")
         delta_head = nn.Conv(self.num_anchors * 4, (1, 1),
                              dtype=self.dtype, name="delta")
+
+        if packed and len(feats) > 1:
+            gap = 2
+            B = feats[0].shape[0]
+            C = feats[0].shape[-1]
+            H = max(f.shape[1] for f in feats)
+            offs, x = [], 0
+            for f in feats:
+                offs.append(x)
+                x += f.shape[2] + gap
+            canvas = jnp.zeros((B, H, x - gap, C), feats[0].dtype)
+            for f, off in zip(feats, offs):
+                canvas = jax.lax.dynamic_update_slice(
+                    canvas, f, (0, 0, off, 0))
+            t = nn.relu(conv(canvas))
+            obj_all = obj_head(t)
+            delta_all = delta_head(t)
+            objs, deltas = [], []
+            for f, off in zip(feats, offs):
+                h, w = f.shape[1], f.shape[2]
+                objs.append(obj_all[:, :h, off:off + w])
+                deltas.append(delta_all[:, :h, off:off + w])
+            return objs, deltas
+
         objs, deltas = [], []
         for x in feats:
             t = nn.relu(conv(x))

@@ -73,3 +73,24 @@ def test_siamese_track_shapes(rng):
     assert ss[0] == 1 and ss[-1] == 2 * 5
     assert out["loc"].shape[-1] == 4 * 5
     assert out["cls"].shape[1] == out["loc"].shape[1]
+
+
+def test_rpn_packed_matches_per_level():
+    """Packed-canvas RPN tower == per-level application, exactly."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tao_amodal_tpu.models.rpn import RPNHead
+
+    rs = np.random.RandomState(0)
+    feats = [jnp.asarray(rs.randn(2, s, s, 32), jnp.float32)
+             for s in (16, 8, 4)]
+    rpn = RPNHead(num_anchors=3, features=32)
+    v = rpn.init(jax.random.PRNGKey(0), feats, packed=False)
+
+    objs_u, deltas_u = rpn.apply(v, feats, packed=False)
+    objs_p, deltas_p = rpn.apply(v, feats, packed=True)
+    for u, p in zip(objs_u + deltas_u, objs_p + deltas_p):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(u),
+                                   rtol=1e-5, atol=1e-5)
