@@ -112,11 +112,24 @@ class RPNHead(nn.Module):
                 deltas.append(delta_all[:, :h, off:off + w])
             return objs, deltas
 
+        # Per-level tower (3x3, needs spatial structure), then ONE
+        # application of each 1x1 head over all levels' concatenated
+        # pixels: the upper pyramid maps (16^2..4^2) are far below MXU
+        # tile size, so 2 matmuls on [B, sum(HW), 1, C] replace 2xL
+        # tiny convs at identical parameters and numerics.
+        towers = [nn.relu(conv(x)) for x in feats]
+        B = towers[0].shape[0]
+        flat = jnp.concatenate(
+            [t.reshape(B, -1, 1, t.shape[-1]) for t in towers], axis=1)
+        obj_all = obj_head(flat)
+        delta_all = delta_head(flat)
         objs, deltas = [], []
-        for x in feats:
-            t = nn.relu(conv(x))
-            objs.append(obj_head(t))
-            deltas.append(delta_head(t))
+        p = 0
+        for t in towers:
+            h, w = t.shape[1], t.shape[2]
+            objs.append(obj_all[:, p:p + h * w].reshape(B, h, w, -1))
+            deltas.append(delta_all[:, p:p + h * w].reshape(B, h, w, -1))
+            p += h * w
         return objs, deltas
 
 

@@ -188,6 +188,179 @@ def identity_blocks_pallas(x, p: QuantBlockParams, interpret=False):
 
 
 # ---------------------------------------------------------------------
+# bf16 fused identity-bottleneck stacks
+# ---------------------------------------------------------------------
+#
+# Same fusion idea as the int8 kernel but at the trunk's native bf16:
+# no (re)quantization passes, so the only HBM traffic for an N-block
+# identity run is ONE read of the stage input and ONE write of the
+# stage output — XLA's per-conv round-trips (y1/y2/y3 per block) are
+# what put the trunk at the bandwidth roofline (BENCH_NOTES.md).
+# BatchNorm (inference) folds into per-channel f32 scale/bias epilogues
+# on the f32 MXU accumulators, which is *more* precise than the flax
+# bf16 BN it replaces.
+
+
+class Bf16BlockParams(NamedTuple):
+    """N identity bottlenecks at one stage, BN folded.
+
+    w1 ``[N, C, M]``, w2 ``[N, 3, 3, M, M]``, w3 ``[N, M, C]`` bf16;
+    g*/b* f32 per-channel scale/bias (BN running stats folded).
+    """
+
+    w1: jax.Array
+    g1: jax.Array  # [N, M]
+    b1: jax.Array  # [N, M]
+    w2: jax.Array
+    g2: jax.Array  # [N, M]
+    b2: jax.Array  # [N, M]
+    w3: jax.Array
+    g3: jax.Array  # [N, C]
+    b3: jax.Array  # [N, C]
+
+
+def _bf16_stack_kernel(x_ref, w1_ref, g1_ref, b1_ref, w2_ref, g2_ref,
+                       b2_ref, w3_ref, g3_ref, b3_ref, o_ref, pad_ref):
+    """One frame through N identity bottlenecks, VMEM-resident (bf16).
+
+    pad_ref: VMEM scratch ``[H+2, W+2, M]`` bf16 for the 3x3 halo.
+    """
+    H = x_ref.shape[1]
+    W = x_ref.shape[2]
+    N = w1_ref.shape[0]
+    M = w1_ref.shape[2]
+
+    x = x_ref[0]  # [H, W, C] bf16
+
+    for i in range(N):  # static unroll over blocks
+        acc1 = jax.lax.dot_general(
+            x.reshape(H * W, -1), w1_ref[i],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y1 = jnp.maximum(acc1 * g1_ref[i] + b1_ref[i], 0.0).astype(
+            jnp.bfloat16)
+
+        # Zero-padded halo in scratch, then nine shifted MXU dots.
+        pad_ref[:] = jnp.zeros((H + 2, W + 2, M), jnp.bfloat16)
+        pad_ref[1:H + 1, 1:W + 1, :] = y1.reshape(H, W, M)
+        acc2 = jnp.zeros((H * W, M), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                win = pad_ref[dy:dy + H, dx:dx + W, :]
+                acc2 = acc2 + jax.lax.dot_general(
+                    win.reshape(H * W, M), w2_ref[i, dy, dx],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        y2 = jnp.maximum(acc2 * g2_ref[i] + b2_ref[i], 0.0).astype(
+            jnp.bfloat16)
+
+        acc3 = jax.lax.dot_general(
+            y2, w3_ref[i], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y3 = (acc3 * g3_ref[i] + b3_ref[i]
+              + x.reshape(H * W, -1).astype(jnp.float32))
+        x = jnp.maximum(y3, 0.0).astype(jnp.bfloat16).reshape(H, W, -1)
+
+    o_ref[0] = x
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def identity_blocks_bf16_pallas(x, p: Bf16BlockParams, interpret=False):
+    """Run a bf16 identity-bottleneck stack: ``[T, H, W, C] bf16`` ->
+    ``[T, H, W, C] bf16``, one frame per grid step."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, H, W, C = x.shape
+    N, _, M = p.w1.shape
+
+    def spec(shape):
+        return pl.BlockSpec(shape, lambda t: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        _bf16_stack_kernel,
+        out_shape=jax.ShapeDtypeStruct((T, H, W, C), jnp.bfloat16),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, H, W, C), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            spec((N, C, M)), spec((N, M)), spec((N, M)),
+            spec((N, 3, 3, M, M)), spec((N, M)), spec((N, M)),
+            spec((N, M, C)), spec((N, C)), spec((N, C)),
+        ],
+        out_specs=pl.BlockSpec((1, H, W, C), lambda t: (t, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((H + 2, W + 2, M), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), p.w1, p.g1, p.b1, p.w2, p.g2, p.b2,
+      p.w3, p.g3, p.b3)
+
+
+def identity_blocks_bf16_reference(x, p: Bf16BlockParams):
+    """XLA reference computing the identical function (tests/CPU)."""
+    T, H, W, C = x.shape
+    N = p.w1.shape[0]
+    x = x.astype(jnp.bfloat16)
+    for i in range(N):
+        acc1 = jax.lax.dot_general(
+            x.reshape(T, H * W, C), p.w1[i], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y1 = jnp.maximum(acc1 * p.g1[i] + p.b1[i], 0.0).astype(
+            jnp.bfloat16).reshape(T, H, W, -1)
+        y1p = jnp.pad(y1, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        acc2 = jnp.zeros((T, H * W, p.w2.shape[-1]), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                win = y1p[:, dy:dy + H, dx:dx + W]
+                acc2 = acc2 + jax.lax.dot_general(
+                    win.reshape(T, H * W, -1), p.w2[i, dy, dx],
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        y2 = jnp.maximum(acc2 * p.g2[i] + p.b2[i], 0.0).astype(
+            jnp.bfloat16)
+        acc3 = jax.lax.dot_general(
+            y2, p.w3[i], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y3 = (acc3 * p.g3[i] + p.b3[i]
+              + x.reshape(T, H * W, C).astype(jnp.float32))
+        x = jnp.maximum(y3, 0.0).astype(jnp.bfloat16).reshape(T, H, W, C)
+    return x
+
+
+def fold_bn(bn_scale, bn_bias, bn_mean, bn_var, eps=1e-5):
+    """Inference BN -> per-channel (scale, bias): y = x*scale + bias."""
+    inv = bn_scale / jnp.sqrt(bn_var + eps)
+    return inv, bn_bias - bn_mean * inv
+
+
+def bf16_params_from_bottlenecks(block_vars):
+    """Stack flax Bottleneck variable dicts (identity blocks only) into
+    :class:`Bf16BlockParams`.
+
+    Args:
+      block_vars: list of dicts with ``conv{1,2,3}/kernel`` numpy/jnp
+        arrays ([1,1,C,M], [3,3,M,M], [1,1,M,C]) and ``bn{1,2,3}`` as
+        (scale, bias, mean, var) tuples.
+    """
+    cols = {k: [] for k in "w1 g1 b1 w2 g2 b2 w3 g3 b3".split()}
+    for bv in block_vars:
+        for j, key in ((1, "w1"), (2, "w2"), (3, "w3")):
+            k = jnp.asarray(bv[f"conv{j}/kernel"])
+            if k.ndim == 4 and k.shape[0] == 1 and k.shape[1] == 1:
+                k = k[0, 0]
+            g, b = fold_bn(*[jnp.asarray(a, jnp.float32)
+                             for a in bv[f"bn{j}"]])
+            cols[key].append(k.astype(jnp.bfloat16))
+            cols[f"g{j}"].append(g)
+            cols[f"b{j}"].append(b)
+    return Bf16BlockParams(
+        **{k: jnp.stack(v) for k, v in cols.items()})
+
+
+# ---------------------------------------------------------------------
 # Parameter folding: f32 ConvBN weights -> int8 + requant vectors
 # ---------------------------------------------------------------------
 

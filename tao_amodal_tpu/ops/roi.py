@@ -79,14 +79,24 @@ def prroi_pool(features, rois, out_size=7, spatial_scale=1.0):
 
     wx = axis_w(x0, bw, W).astype(features.dtype)  # [R, out, W]
     wy = axis_w(y0, bh, H).astype(features.dtype)  # [R, out, H]
-    # The [R, out, W, C] intermediate is the op's HBM cost (58 MB/frame
-    # at P3 for 128 rois); accumulate in f32 on the MXU but STORE it in
-    # the feature dtype — halves the traffic for bf16 pyramids.
-    tmp = jnp.einsum("ryh,hwc->rywc", wy, features,
-                     preferred_element_type=jnp.float32)
-    tmp = tmp.astype(features.dtype)
-    out = jnp.einsum("rxw,rywc->ryxc", wx, tmp,
-                     preferred_element_type=jnp.float32)
+    # The [R, out, raw_axis, C] intermediate is the op's HBM cost;
+    # accumulate in f32 on the MXU but STORE it in the feature dtype,
+    # and contract the LONGER spatial axis first so the surviving raw
+    # axis is the shorter one (the packed multilevel canvas is wide:
+    # W~2H, so W-first halves both the intermediate traffic and the
+    # second contraction's K at identical first-matmul FLOPs).
+    if W >= H:
+        tmp = jnp.einsum("rxw,hwc->rxhc", wx, features,
+                         preferred_element_type=jnp.float32)
+        tmp = tmp.astype(features.dtype)
+        out = jnp.einsum("ryh,rxhc->ryxc", wy, tmp,
+                         preferred_element_type=jnp.float32)
+    else:
+        tmp = jnp.einsum("ryh,hwc->rywc", wy, features,
+                         preferred_element_type=jnp.float32)
+        tmp = tmp.astype(features.dtype)
+        out = jnp.einsum("rxw,rywc->ryxc", wx, tmp,
+                         preferred_element_type=jnp.float32)
     return out / (bw * bh)[:, None, None, None]
 
 
@@ -183,22 +193,36 @@ def multilevel_roi_align(pyramid, rois, canonical_level=2,
     target = jnp.clip(target, 0, len(pyramid) - 1).astype(jnp.int32)
 
     if method == "prroi_packed":
+        # Shelf layout: level 0 fills the left column; smaller levels
+        # stack vertically in further columns (2-px zero gaps in both
+        # axes — the PrRoI hat weights have +-1 px support, so levels
+        # cannot bleed and each keeps its zero-pad edge semantics).
+        # For a P3-P6 pyramid this gives a 64x98 canvas instead of the
+        # one-row 64x126, cutting first-contraction FLOPs ~22%.
         gap = 2
         H = max(f.shape[0] for f in pyramid)
-        offs = []
-        x = 0
+        offs = []  # (oy, ox) per level
+        col_x, col_w, cur_y = 0, pyramid[0].shape[1], 0
         for f in pyramid:
-            offs.append(x)
-            x += f.shape[1] + gap
+            fh, fw = f.shape[0], f.shape[1]
+            if cur_y + fh > H:  # start a new column
+                col_x += col_w + gap
+                cur_y, col_w = 0, fw
+            offs.append((cur_y, col_x))
+            col_w = max(col_w, fw)
+            cur_y += fh + gap
         C = pyramid[0].shape[-1]
-        packed = jnp.zeros((H, x - gap, C), pyramid[0].dtype)
-        for f, off in zip(pyramid, offs):
+        packed = jnp.zeros((H, col_x + col_w, C), pyramid[0].dtype)
+        for f, (oy, ox) in zip(pyramid, offs):
             packed = jax.lax.dynamic_update_slice(
-                packed, f, (0, off, 0))
+                packed, f, (oy, ox, 0))
         inv_stride = jnp.asarray([1.0 / s for s in strides],
                                  jnp.float32)[target]       # [R]
-        off_x = jnp.asarray(offs, jnp.float32)[target]      # [R]
-        shift = jnp.stack([off_x, jnp.zeros_like(off_x)] * 2, axis=1)
+        off_y = jnp.asarray([o[0] for o in offs],
+                            jnp.float32)[target]            # [R]
+        off_x = jnp.asarray([o[1] for o in offs],
+                            jnp.float32)[target]            # [R]
+        shift = jnp.stack([off_x, off_y, off_x, off_y], axis=1)
         rois_p = rois.astype(jnp.float32) * inv_stride[:, None] + shift
         return prroi_pool(packed, rois_p, out_size, 1.0)
 

@@ -161,3 +161,85 @@ def _apply_block(sub, x):
         jnp.asarray(bns["var"]) + 1e-5)
     y = (y - jnp.asarray(bns["mean"])) * inv + jnp.asarray(bnp["bias"])
     return nn.relu(y + x)
+
+
+# ---------------------------------------------------------------------
+# bf16 fused stacks
+# ---------------------------------------------------------------------
+
+def _random_bf16_params(rs, n, c, m):
+    from tao_amodal_tpu.ops.pallas.resnet_blocks import Bf16BlockParams
+
+    def w(*shape):
+        return jnp.asarray(rs.randn(*shape) * 0.05, jnp.bfloat16)
+
+    def f(*shape):
+        return jnp.asarray(rs.uniform(0.5, 1.5, shape), jnp.float32)
+
+    return Bf16BlockParams(
+        w1=w(n, c, m), g1=f(n, m), b1=f(n, m) - 1.0,
+        w2=w(n, 3, 3, m, m), g2=f(n, m), b2=f(n, m) - 1.0,
+        w3=w(n, m, c), g3=f(n, c), b3=f(n, c) - 1.0)
+
+
+def test_bf16_pallas_matches_reference():
+    from tao_amodal_tpu.ops.pallas.resnet_blocks import (
+        identity_blocks_bf16_pallas,
+        identity_blocks_bf16_reference,
+    )
+
+    rs = np.random.RandomState(2)
+    T, H, W, C, M, N = 2, 12, 12, 64, 16, 3
+    x = jnp.asarray(rs.rand(T, H, W, C), jnp.bfloat16)
+    p = _random_bf16_params(rs, N, C, M)
+    ref = np.asarray(identity_blocks_bf16_reference(x, p),
+                     np.float32)
+    got = np.asarray(identity_blocks_bf16_pallas(x, p, interpret=True),
+                     np.float32)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_bf16_stack_tracks_flax_bottlenecks():
+    """BN-folded bf16 stack ~= the flax bf16 Bottleneck stack (the
+    fused path accumulates in f32, so only bf16-level tolerance)."""
+    import flax.linen as nn
+
+    from tao_amodal_tpu.models.backbones import Bottleneck
+    from tao_amodal_tpu.ops.pallas.resnet_blocks import (
+        bf16_params_from_bottlenecks,
+        identity_blocks_bf16_reference,
+    )
+
+    C, M, N, T, H = 64, 16, 2, 2, 12
+    rng = jax.random.PRNGKey(3)
+    rs = np.random.RandomState(4)
+
+    class Stack(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            for _ in range(N):
+                x = Bottleneck(M, dtype=jnp.bfloat16)(x, train)
+            return x
+
+    stack = Stack()
+    x = jnp.asarray(rs.rand(T, H, H, C), jnp.bfloat16)
+    variables = stack.init(rng, x)
+    ref = np.asarray(stack.apply(variables, x), np.float32)
+
+    params = variables["params"]
+    batch = variables["batch_stats"]
+    block_vars = []
+    for i in range(N):
+        scope = f"Bottleneck_{i}"
+        bp = params[scope]
+        block_vars.append({
+            "conv1/kernel": np.asarray(bp["ConvBN_0"]["Conv_0"]["kernel"]),
+            "bn1": _bn(bp, batch[scope], 0),
+            "conv2/kernel": np.asarray(bp["ConvBN_1"]["Conv_0"]["kernel"]),
+            "bn2": _bn(bp, batch[scope], 1),
+            "conv3/kernel": np.asarray(bp["ConvBN_2"]["Conv_0"]["kernel"]),
+            "bn3": _bn(bp, batch[scope], 2),
+        })
+    p = bf16_params_from_bottlenecks(block_vars)
+    got = np.asarray(identity_blocks_bf16_reference(x, p), np.float32)
+    np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
