@@ -85,9 +85,9 @@ def main(argv=None):
             jax.random.PRNGKey(0), jnp.zeros((2, S, S, 3)))
 
     @jax.jit
-    def run(clip):
-        return pipeline(variables, clip,
-                        score_thr=args.score_threshold)
+    def run(clip, state):
+        return pipeline.streaming(variables, clip, state,
+                                  score_thr=args.score_threshold)
 
     records = []
     vids = sorted(dataset.vids.values(), key=lambda v: v["id"])
@@ -97,6 +97,9 @@ def main(argv=None):
         images = sorted(dataset.vid_img_map[video["id"]],
                         key=lambda im: im["frame_index"])
         scale = min(S / video["height"], S / video["width"])
+        # SORT state threads across the video's clips (continuous
+        # track ids past clip boundaries); fresh per video.
+        state = pipeline.init_tracker_state()
         for start in range(0, len(images), T):
             chunk = images[start:start + T]
             pad = T - len(chunk)
@@ -107,12 +110,14 @@ def main(argv=None):
             if pad:
                 clip = jnp.concatenate(
                     [clip, jnp.zeros((pad, S, S, 3))])
-            out = jax.tree_util.tree_map(np.asarray, run(clip))
+            out, state = run(clip, state)
+            out = jax.tree_util.tree_map(np.asarray, out)
             # Undo the letterbox scale back to source pixels.
             out["boxes"] = out["boxes"] / scale
             recs = detections_to_json(
                 out, [im["id"] for im in chunk] + [-1] * pad,
-                video["id"], class_id_map=class_id_map)
+                video["id"], class_id_map=class_id_map,
+                track_id_base=video["id"] * 10 ** 6)
             records.extend(r for r in recs if r["image_id"] != -1)
         logger.info("video %s: %d records so far", video["name"],
                     len(records))

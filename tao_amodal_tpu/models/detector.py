@@ -79,6 +79,9 @@ class ClipDetector(nn.Module):
     # clip already in space-to-depth layout [T, H/4, W/4, 48] from the
     # fused Pallas preprocessing kernel.
     stem: str = "classic"
+    # Exact jax.lax.top_k in proposal pre-selection instead of
+    # approx_max_k (reference-exact ordering; ~10x slower op).
+    exact_topk: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -107,13 +110,14 @@ class ClipDetector(nn.Module):
         ]
         props, prop_scores = select_proposals(
             objs, deltas, anchors, image_hw,
-            post_nms_topk=self.num_proposals)
+            post_nms_topk=self.num_proposals,
+            exact_topk=self.exact_topk)
 
         # Pool over P3-P6 (canonical 224^2 roi -> P4 = index 1).
         pooled = multilevel_roi_align(
             pyramid[:4], props, out_size=7, canonical_level=1,
             strides=self.strides[:4],
-            method=("prroi_pallas" if self.pallas_pooling
+            method=("prroi_packed_pallas" if self.pallas_pooling
                     else "prroi_packed"))
         logits, box_deltas, feats = self.box_head(pooled)
         probs = jax.nn.softmax(logits, axis=-1)[:, 1:]  # drop background

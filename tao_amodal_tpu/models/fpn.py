@@ -26,11 +26,22 @@ class FPN(nn.Module):
                     name=f"lateral_{i}")(x)
             for i, x in enumerate(inputs)
         ]
-        # Top-down pathway: upsample (nearest) + add.
+        # Top-down pathway: upsample (nearest) + add.  Integer-factor
+        # nearest upsampling is a broadcast+reshape, NOT
+        # jax.image.resize (which lowers to a gather on TPU — measured
+        # 0.5 ms/clip of the FPN's 1.1 ms at 512^2).
         for i in range(len(laterals) - 2, -1, -1):
-            up = jax.image.resize(
-                laterals[i + 1], laterals[i].shape, method="nearest")
-            laterals[i] = laterals[i] + up
+            lo, hi = laterals[i + 1], laterals[i]
+            fy = hi.shape[1] // lo.shape[1]
+            fx = hi.shape[2] // lo.shape[2]
+            if (lo.shape[1] * fy, lo.shape[2] * fx) == hi.shape[1:3]:
+                B, h, w, C = lo.shape
+                up = jnp.broadcast_to(
+                    lo[:, :, None, :, None, :],
+                    (B, h, fy, w, fx, C)).reshape(B, h * fy, w * fx, C)
+            else:  # non-integer factor: fall back
+                up = jax.image.resize(lo, hi.shape, method="nearest")
+            laterals[i] = hi + up
         outs = [
             nn.Conv(self.features, (3, 3), padding="SAME",
                     dtype=self.dtype, name=f"post_{i}")(x)

@@ -134,7 +134,8 @@ class RPNHead(nn.Module):
 
 
 def select_proposals(objs, deltas, anchors_per_level, image_hw,
-                     pre_nms_topk=150, post_nms_topk=256, nms_thr=0.7):
+                     pre_nms_topk=150, post_nms_topk=256, nms_thr=0.7,
+                     exact_topk=False):
     """Batched proposal selection for ONE image, static shapes.
 
     Args:
@@ -151,8 +152,13 @@ def select_proposals(objs, deltas, anchors_per_level, image_hw,
         k = min(pre_nms_topk, scores.shape[0])
         # approx_max_k: TPU-native partial sort, ~10x faster than exact
         # top_k; recall ~0.95 with default params, fine for proposal
-        # pre-selection.
-        top_scores, idx = jax.lax.approx_max_k(scores, k)
+        # pre-selection (Track-AP effect quantified by
+        # tools/accuracy_study.py; exact_topk=True gives the
+        # reference-exact behavior).
+        if exact_topk:
+            top_scores, idx = jax.lax.top_k(scores, k)
+        else:
+            top_scores, idx = jax.lax.approx_max_k(scores, k)
         boxes = decode_deltas(anchors[idx],
                               delta.reshape(-1, 4)[idx])
         h, w = image_hw

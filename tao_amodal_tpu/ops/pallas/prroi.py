@@ -81,6 +81,102 @@ def _kernel(rois_ref, feat_ref, out_ref, *, out_size, block_r):
         out_ref[i] = o / (bw[i] * bh[i])
 
 
+def _packed_kernel(rois_ref, feat_ref, out_ref, *, out_size, block_r):
+    """Block of RoIs against the packed multilevel canvas.
+
+    The FLOPs-heavy first contraction runs as ONE matmul with
+    M = block_r * out_size rows (the per-roi form wastes the MXU at
+    M=7); the intermediate lives in VMEM in the feature dtype, so the
+    [R, out, W, C] HBM tensor of the XLA form never exists.
+    """
+    H, W, C = feat_ref.shape
+    feat = feat_ref[:]
+    rois = rois_ref[:]
+    x0 = rois[:, 0]
+    y0 = rois[:, 1]
+    bw = jnp.maximum((rois[:, 2] - x0) / out_size, 1e-8)
+    bh = jnp.maximum((rois[:, 3] - y0) / out_size, 1e-8)
+
+    bins = jax.lax.broadcasted_iota(
+        jnp.int32, (out_size, 1), 0).astype(jnp.float32)
+
+    def axis_weights(lo0, step, n):
+        idx = jax.lax.broadcasted_iota(
+            jnp.int32, (1, n), 1).astype(jnp.float32)
+        lo = (lo0[:, None, None]
+              + bins[None] * step[:, None, None])   # [B, out, 1]
+        hi = lo + step[:, None, None]
+        return (_hat_antideriv(hi - idx[None])
+                - _hat_antideriv(lo - idx[None]))   # [B, out, n]
+
+    wx = axis_weights(x0, bw, W).astype(feat.dtype)
+
+    # Flat [block_r*out, H] y-weights, built WITHOUT 3-D reshapes
+    # (Mosaic layout inference rejects sublane-merging shape casts):
+    # broadcast the per-roi scalars to rows via a one-hot matmul,
+    # row i belongs to roi i // out_size, bin i % out_size.
+    BO = block_r * out_size
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (BO, 1), 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (1, block_r), 1)
+    onehot = (rows_i // out_size == cols_i).astype(jnp.float32)
+    y0_f = jnp.dot(onehot, y0[:, None])          # [BO, 1]
+    bh_f = jnp.dot(onehot, bh[:, None])          # [BO, 1]
+    bin_f = (rows_i % out_size).astype(jnp.float32)
+    idx_h = jax.lax.broadcasted_iota(
+        jnp.int32, (1, H), 1).astype(jnp.float32)
+    lo = y0_f + bin_f * bh_f                     # [BO, 1]
+    hi = lo + bh_f
+    wy_flat = (_hat_antideriv(hi - idx_h)
+               - _hat_antideriv(lo - idx_h)).astype(feat.dtype)
+
+    # m1[(r,y), (w,c)] = sum_h wy[r,y,h] feat[h,w,c] — ONE matmul with
+    # both roi and bin dims riding the MXU's M axis (the per-roi form
+    # wastes the MXU at M=7).  Mosaic requires a 32-bit accumulator;
+    # the block_r default keeps the f32 intermediate inside the 16 MB
+    # scoped-VMEM budget, and it is stored onward in the feature dtype.
+    m1 = jnp.dot(wy_flat, feat.reshape(H, W * C),
+                 preferred_element_type=jnp.float32).astype(feat.dtype)
+
+    # Second (tiny) contraction per roi: out[y,x,c] = wx[x,:] @ m1[y].
+    for i in range(block_r):
+        rows = m1[i * out_size:(i + 1) * out_size]  # [out, W*C]
+        t = rows.reshape(out_size, W, C).transpose(1, 0, 2)
+        o = jnp.dot(wx[i], t.reshape(W, out_size * C),
+                    preferred_element_type=jnp.float32)
+        o = o.reshape(out_size, out_size, C).transpose(1, 0, 2)
+        out_ref[i] = (o / (bw[i] * bh[i])).astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("out_size", "block_r", "interpret"))
+def prroi_packed_pallas(features, rois, out_size=7, block_r=8,
+                        interpret=False):
+    """Fused PrRoI over a packed canvas: ``[H, W, C]`` features,
+    ``[R, 4]`` rois already in canvas coordinates.
+
+    Returns ``[R, out, out, C]`` in the feature dtype.
+    """
+    H, W, C = features.shape
+    R = rois.shape[0]
+    while R % block_r:
+        block_r //= 2
+    return pl.pallas_call(
+        partial(_packed_kernel, out_size=out_size, block_r=block_r),
+        out_shape=jax.ShapeDtypeStruct((R, out_size, out_size, C),
+                                       features.dtype),
+        grid=(R // block_r,),
+        in_specs=[
+            pl.BlockSpec((block_r, 4), lambda r: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, W, C), lambda r: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_r, out_size, out_size, C),
+                               lambda r: (r, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(rois.astype(jnp.float32), features)
+
+
 @partial(jax.jit, static_argnames=("out_size", "block_r", "interpret"))
 def prroi_pool_pallas(features, rois, out_size=7, spatial_scale=1.0,
                       block_r=8, interpret=False):

@@ -264,10 +264,14 @@ def _bf16_stack_kernel(x_ref, w1_ref, g1_ref, b1_ref, w2_ref, g2_ref,
     o_ref[0] = x
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def identity_blocks_bf16_pallas(x, p: Bf16BlockParams, interpret=False):
+@partial(jax.jit, static_argnames=("interpret", "vmem_limit_mb"))
+def identity_blocks_bf16_pallas(x, p: Bf16BlockParams, interpret=False,
+                                vmem_limit_mb=None):
     """Run a bf16 identity-bottleneck stack: ``[T, H, W, C] bf16`` ->
-    ``[T, H, W, C] bf16``, one frame per grid step."""
+    ``[T, H, W, C] bf16``, one frame per grid step.
+
+    ``vmem_limit_mb`` raises Mosaic's 16 MB scoped-VMEM default (v5e
+    has 128 MB physical VMEM) for the large-frame stages."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -278,6 +282,10 @@ def identity_blocks_bf16_pallas(x, p: Bf16BlockParams, interpret=False):
         return pl.BlockSpec(shape, lambda t: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
+    kwargs = {}
+    if vmem_limit_mb:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024)
     return pl.pallas_call(
         _bf16_stack_kernel,
         out_shape=jax.ShapeDtypeStruct((T, H, W, C), jnp.bfloat16),
@@ -295,6 +303,7 @@ def identity_blocks_bf16_pallas(x, p: Bf16BlockParams, interpret=False):
             pltpu.VMEM((H + 2, W + 2, M), jnp.bfloat16),
         ],
         interpret=interpret,
+        **kwargs,
     )(x.astype(jnp.bfloat16), p.w1, p.g1, p.b1, p.w2, p.g2, p.b2,
       p.w3, p.g3, p.b3)
 

@@ -192,7 +192,7 @@ def multilevel_roi_align(pyramid, rois, canonical_level=2,
                        + jnp.log2(jnp.sqrt(areas) / canonical_size + 1e-8))
     target = jnp.clip(target, 0, len(pyramid) - 1).astype(jnp.int32)
 
-    if method == "prroi_packed":
+    if method in ("prroi_packed", "prroi_packed_pallas"):
         # Shelf layout: level 0 fills the left column; smaller levels
         # stack vertically in further columns (2-px zero gaps in both
         # axes — the PrRoI hat weights have +-1 px support, so levels
@@ -212,7 +212,11 @@ def multilevel_roi_align(pyramid, rois, canonical_level=2,
             col_w = max(col_w, fw)
             cur_y += fh + gap
         C = pyramid[0].shape[-1]
-        packed = jnp.zeros((H, col_x + col_w, C), pyramid[0].dtype)
+        # Round the canvas width up to the sublane tile (16 covers both
+        # bf16 and f32): keeps every reshape/transpose in the Pallas
+        # kernel layout-legal, and XLA tiles the einsums cleanly too.
+        W_canvas = -(-(col_x + col_w) // 16) * 16
+        packed = jnp.zeros((H, W_canvas, C), pyramid[0].dtype)
         for f, (oy, ox) in zip(pyramid, offs):
             packed = jax.lax.dynamic_update_slice(
                 packed, f, (oy, ox, 0))
@@ -224,6 +228,12 @@ def multilevel_roi_align(pyramid, rois, canonical_level=2,
                             jnp.float32)[target]            # [R]
         shift = jnp.stack([off_x, off_y, off_x, off_y], axis=1)
         rois_p = rois.astype(jnp.float32) * inv_stride[:, None] + shift
+        if method == "prroi_packed_pallas":
+            from tao_amodal_tpu.ops.pallas.prroi import (
+                prroi_packed_pallas,
+            )
+
+            return prroi_packed_pallas(packed, rois_p, out_size)
         return prroi_pool(packed, rois_p, out_size, 1.0)
 
     if method == "prroi_pallas":

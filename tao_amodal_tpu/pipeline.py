@@ -33,7 +33,7 @@ class AmodalPipeline(NamedTuple):
     def create(num_classes=80, num_dets=64, dtype=jnp.float32,
                backbone_stages=(3, 4, 6, 3), num_proposals=128,
                pallas_pooling=False, int8_backbone=False,
-               stem="classic"):
+               stem="classic", exact_topk=False):
         return AmodalPipeline(
             detector=ClipDetector(num_classes=num_classes,
                                   num_dets=num_dets, dtype=dtype,
@@ -41,7 +41,7 @@ class AmodalPipeline(NamedTuple):
                                   backbone_stages=backbone_stages,
                                   pallas_pooling=pallas_pooling,
                                   int8_backbone=int8_backbone,
-                                  stem=stem),
+                                  stem=stem, exact_topk=exact_topk),
             expander=AmodalExpander(dtype=dtype),
         )
 
@@ -69,15 +69,23 @@ class AmodalPipeline(NamedTuple):
             image_hw=self.detector.image_hw_of(clip))
         return {"detector": det_vars, "expander": exp_vars}
 
-    def __call__(self, variables, clip, score_thr=0.05):
-        """Full clip -> tracked amodal detections (all on device)."""
+    def init_tracker_state(self):
+        """Fresh SORT state (reset at every video boundary)."""
+        return init_sort(max_tracks=2 * self.detector.num_dets)
+
+    def streaming(self, variables, clip, sort_state, score_thr=0.05):
+        """Clip -> (tracked amodal detections, updated SORT state).
+
+        Threading the state across consecutive clips of one video keeps
+        track identities continuous past clip boundaries (a fresh state
+        per clip would fragment every track into 16-frame pieces AND
+        reuse the same ids for different objects)."""
         det = self.detector.apply(variables["detector"], clip)
         amodal, _ = self.expander.apply(
             variables["expander"], det["roi_features"], det["boxes"],
             image_hw=self.detector.image_hw_of(clip))
 
         det_valid = det["scores"] > score_thr
-        state = init_sort(max_tracks=2 * self.detector.num_dets)
 
         def assoc(state, frame):
             boxes, valid = frame
@@ -89,8 +97,8 @@ class AmodalPipeline(NamedTuple):
                                    assignment="gated_auction")
             return state, (out["det_track_id"], out["det_report"])
 
-        _, (track_ids, reported) = jax.lax.scan(
-            assoc, state, (amodal, det_valid))
+        sort_state, (track_ids, reported) = jax.lax.scan(
+            assoc, sort_state, (amodal, det_valid))
         return {
             "boxes": amodal,                  # [T, D, 4] xyxy amodal
             "visible_boxes": det["boxes"],    # [T, D, 4]
@@ -98,15 +106,27 @@ class AmodalPipeline(NamedTuple):
             "classes": det["classes"],        # [T, D]
             "track_ids": track_ids,           # [T, D]
             "valid": det_valid & reported,    # [T, D]
-        }
+        }, sort_state
+
+    def __call__(self, variables, clip, score_thr=0.05):
+        """Full clip -> tracked amodal detections (all on device)."""
+        out, _ = self.streaming(variables, clip,
+                                self.init_tracker_state(),
+                                score_thr=score_thr)
+        return out
 
 
-def detections_to_json(outputs, image_ids, video_id, class_id_map=None):
+def detections_to_json(outputs, image_ids, video_id, class_id_map=None,
+                       track_id_base=0):
     """Device outputs -> prediction-JSON records (host side).
 
     Args:
       outputs: dict from :class:`AmodalPipeline` (numpy-convertible).
       image_ids: ``[T]`` dataset image ids for the clip frames.
+      track_id_base: added to every track id — pass a per-video offset
+        (e.g. ``video_id * 10**6``) so ids are globally unique, as the
+        results loader requires (reference ``results.py`` asserts one
+        video per track id).
     """
     boxes = np.asarray(outputs["boxes"])
     scores = np.asarray(outputs["scores"])
@@ -126,7 +146,7 @@ def detections_to_json(outputs, image_ids, video_id, class_id_map=None):
                 "bbox": [float(x0), float(y0), float(x1 - x0),
                          float(y1 - y0)],
                 "score": float(scores[t, d]),
-                "track_id": int(tracks[t, d]),
+                "track_id": int(tracks[t, d]) + track_id_base,
                 "video_id": int(video_id),
             })
     return records

@@ -3,9 +3,13 @@
 A real composite objective over the ClipDetector's raw heads:
   * RPN: sigmoid-BCE objectness + smooth-L1 deltas against per-anchor
     matched gt (vectorized IoU matching, top-1 anchor forcing);
-  * RoI head: softmax CE over classes for proposals matched to gt;
+  * RoI head: softmax CE over classes + smooth-L1 box refinement on
+    teacher-forced proposals (gt boxes, jittered gt, and random
+    background boxes — static shapes, no dynamic sampling);
   * Amodal Expander: L1 between predicted amodal box and gt amodal box
-    for positive detections.
+    on the SAME box-head fc features inference feeds it
+    (``roi_features`` in :meth:`ClipDetector._frame_detect`), so the
+    expander sees one feature distribution train and test.
 
 All matching is static-shape masked arithmetic (no dynamic gather
 sizes), so the full step jits and shards over the data axis.
@@ -76,7 +80,6 @@ def detector_train_loss(detector, expander, variables, batch, rng):
     (xyxy visible), ``gt_amodal [B, G, 4]``, ``gt_classes [B, G]``,
     ``gt_valid [B, G]``.
     """
-    del rng
     images = batch["images"]
     pyramid = detector.apply(variables["detector"], images,
                              method="features_for")
@@ -102,27 +105,76 @@ def detector_train_loss(detector, expander, variables, batch, rng):
     obj_loss = jnp.mean(obj_losses)
     reg_loss = jnp.mean(reg_losses)
 
-    # Expander: gt visible -> gt amodal regression on gt-derived
-    # features (teacher-forced; RoI features come from pooled pyramid).
+    # RoI box head + expander on teacher-forced proposals: gt boxes,
+    # two jittered copies, and one random box per gt slot (static
+    # [4G, 4] proposal set; labels by IoU >= 0.5, column 0 =
+    # background).  The expander trains on the box head's fc features
+    # — the exact tensor inference hands it as ``roi_features``.
     from tao_amodal_tpu.ops.roi import multilevel_roi_align
 
-    def expander_frame(i):
+    H_img, W_img = images.shape[1], images.shape[2]
+    keys = jax.random.split(rng, B)
+
+    def roi_frame(i, key):
+        gt = batch["gt_boxes"][i]
+        gt_valid = batch["gt_valid"][i]
+        gt_cls = batch["gt_classes"][i]
+        G = gt.shape[0]
+        wh = jnp.concatenate([gt[:, 2:] - gt[:, :2]] * 2, axis=-1)
+        k1, k2 = jax.random.split(key)
+        jit_a = gt + 0.10 * jax.random.normal(k1, (G, 4)) * wh
+        jit_b = gt + 0.25 * jax.random.normal(k2, (G, 4)) * wh
+        rand_xy = jax.random.uniform(
+            k2, (G, 2), minval=0.0,
+            maxval=jnp.asarray([W_img * 0.8, H_img * 0.8]))
+        rand_wh = jax.random.uniform(
+            k1, (G, 2), minval=8.0,
+            maxval=jnp.asarray([W_img * 0.2, H_img * 0.2]))
+        rand_box = jnp.concatenate([rand_xy, rand_xy + rand_wh], -1)
+        props = jnp.concatenate([gt, jit_a, jit_b, rand_box])  # [4G,4]
+        props = jnp.stack([
+            jnp.clip(props[:, 0], 0, W_img),
+            jnp.clip(props[:, 1], 0, H_img),
+            jnp.clip(props[:, 2], 0, W_img),
+            jnp.clip(props[:, 3], 0, H_img)], axis=-1)
+
+        iou = _iou_xyxy(props, gt)
+        iou = jnp.where(gt_valid[None, :], iou, -1.0)
+        best_gt = jnp.argmax(iou, axis=1)
+        best_iou = jnp.max(iou, axis=1)
+        pos = best_iou >= 0.5
+        labels = jnp.where(pos, gt_cls[best_gt], 0)  # 0 = background
+
         pooled = multilevel_roi_align(
-            [lvl[i] for lvl in pyramid], batch["gt_boxes"][i],
-            out_size=7, strides=detector.strides[:len(pyramid)])
-        feats = pooled.mean(axis=(1, 2))
-        feats = jnp.concatenate(
-            [feats, jnp.zeros((feats.shape[0],
-                               1024 - feats.shape[1]))], axis=-1)
+            [lvl[i] for lvl in pyramid], props, out_size=7,
+            strides=detector.strides[:len(pyramid)])
+        logits, bdeltas, feats = detector.apply(
+            variables["detector"], pooled,
+            method=lambda m, x: m.box_head(x))
+
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        ce = -jnp.take_along_axis(logp, labels[:, None], 1)[:, 0]
+        cls_loss = jnp.mean(ce)
+
+        tgt = encode_deltas(props, gt[best_gt])
+        box_l1 = smooth_l1(bdeltas.astype(jnp.float32) - tgt).sum(-1)
+        n_pos = jnp.maximum(jnp.sum(pos), 1)
+        box_loss = jnp.sum(box_l1 * pos) / n_pos
+
         amodal, _ = expander.apply(
-            variables["expander"], feats, batch["gt_boxes"][i],
-            image_hw=images.shape[1:3])
-        l1 = jnp.abs(amodal - batch["gt_amodal"][i]).sum(-1)
-        denom = jnp.maximum(jnp.sum(batch["gt_valid"][i]), 1)
-        return jnp.sum(l1 * batch["gt_valid"][i]) / denom
+            variables["expander"], feats, props,
+            image_hw=(H_img, W_img))
+        l1 = jnp.abs(amodal - batch["gt_amodal"][i][best_gt]).sum(-1)
+        exp_loss = jnp.sum(l1 * pos) / n_pos
+        return cls_loss, box_loss, exp_loss
 
-    exp_loss = jnp.mean(jax.vmap(expander_frame)(jnp.arange(B)))
+    cls_losses, box_losses, exp_losses = jax.vmap(roi_frame)(
+        jnp.arange(B), keys)
+    cls_loss = jnp.mean(cls_losses)
+    box_loss = jnp.mean(box_losses)
+    exp_loss = jnp.mean(exp_losses)
 
-    total = obj_loss + reg_loss + exp_loss
+    total = obj_loss + reg_loss + cls_loss + box_loss + 0.1 * exp_loss
     return total, {"rpn_obj": obj_loss, "rpn_reg": reg_loss,
+                   "roi_cls": cls_loss, "roi_box": box_loss,
                    "expander_l1": exp_loss}

@@ -1,0 +1,214 @@
+#!/usr/bin/env python
+"""Resolution / proposal-top-k accuracy study on synthetic video data.
+
+Trains a small detector+expander on synthetic TAO-Amodal videos
+(``tao_amodal_tpu/data/synth_video.py``) at full resolution, then runs
+closed-loop inference -> Track-mAP evaluation across:
+
+  * inference resolutions (512/448/384 letterbox), quantifying the
+    Track-AP cost of the resolution lever BENCH_NOTES.md names for the
+    2000 f/s/chip target;
+  * exact ``jax.lax.top_k`` vs ``approx_max_k`` proposal pre-selection
+    (the documented ROADMAP.md deviation — this is its measurement).
+
+Writes one JSON with Track-AP/AP50 per configuration.
+
+Usage:
+  python tools/accuracy_study.py --out experiments/accuracy_study.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+logger = logging.getLogger("accuracy_study")
+
+
+def train(pipeline, gt, frames_by_video, steps, batch_size, seed=0,
+          lr=1e-3):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tao_amodal_tpu.train.detector_loss import detector_train_loss
+
+    hw = gt["images"][0]["height"]
+    variables = pipeline.init(jax.random.PRNGKey(seed),
+                              jnp.zeros((2, hw, hw, 3)))
+    tx = optax.adamw(optax.cosine_decay_schedule(lr, steps, 1e-2))
+    opt_state = tx.init(variables)
+
+    @jax.jit
+    def step(variables, opt_state, batch, rng):
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda v: detector_train_loss(
+                pipeline.detector, pipeline.expander, v, batch, rng),
+            has_aux=True)(variables)
+        updates, opt_state = tx.update(grads, opt_state, variables)
+        return optax.apply_updates(variables, updates), opt_state, \
+            loss, metrics
+
+    rng = np.random.RandomState(seed)
+    from tao_amodal_tpu.data.synth_video import training_batches
+
+    t0 = time.time()
+    for i, batch in enumerate(training_batches(
+            gt, frames_by_video, rng, batch_size, steps=steps)):
+        variables, opt_state, loss, metrics = step(
+            variables, opt_state,
+            {k: jnp.asarray(v) for k, v in batch.items()},
+            jax.random.PRNGKey(i))
+        if i % 25 == 0 or i == steps - 1:
+            m = {k: round(float(v), 3) for k, v in metrics.items()}
+            logger.info("step %d loss=%.3f %s (%.1fs)", i,
+                        float(loss), m, time.time() - t0)
+    return variables
+
+
+def infer(pipeline, variables, gt, frames_by_video, input_size,
+          clip_len=16, score_threshold=0.3):
+    """Run the pipeline over every video; returns prediction records in
+    source-pixel coordinates."""
+    import jax
+    import jax.numpy as jnp
+
+    from tao_amodal_tpu.pipeline import detections_to_json
+
+    cat_ids = sorted(c["id"] for c in gt["categories"])
+    class_id_map = dict(enumerate(cat_ids))
+    S, T = input_size, clip_len
+
+    @jax.jit
+    def run(clip, state):
+        return pipeline.streaming(variables, clip, state,
+                                  score_thr=score_threshold)
+
+    img_by_video = {}
+    for im in gt["images"]:
+        img_by_video.setdefault(im["video_id"], []).append(im)
+
+    records = []
+    from tao_amodal_tpu.ops.pallas.preproc import preprocess_clip
+
+    for v, images in sorted(img_by_video.items()):
+        images = sorted(images, key=lambda im: im["frame_index"])
+        H, W = images[0]["height"], images[0]["width"]
+        scale = min(S / H, S / W)
+        arr = frames_by_video[v]
+        state = pipeline.init_tracker_state()
+        for start in range(0, len(images), T):
+            chunk = images[start:start + T]
+            pad = T - len(chunk)
+            raw = arr[[im["frame_index"] for im in chunk]]
+            clip, _ = preprocess_clip(raw, out_size=S, mean=(0, 0, 0),
+                                      std=(1, 1, 1))
+            if pad:
+                clip = jnp.concatenate(
+                    [clip, jnp.zeros((pad, S, S, 3), clip.dtype)])
+            out, state = run(clip, state)
+            out = jax.tree_util.tree_map(np.asarray, out)
+            out["boxes"] = out["boxes"] / scale
+            recs = detections_to_json(
+                out, [im["id"] for im in chunk] + [-1] * pad, v,
+                class_id_map=class_id_map,
+                track_id_base=v * 10 ** 6)
+            records.extend(r for r in recs if r["image_id"] != -1)
+    return records
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out", default="experiments/accuracy_study.json")
+    p.add_argument("--workdir", default="/tmp/accuracy_study")
+    p.add_argument("--hw", type=int, default=512)
+    p.add_argument("--videos_train", type=int, default=10)
+    p.add_argument("--videos_val", type=int, default=8)
+    p.add_argument("--frames", type=int, default=32)
+    p.add_argument("--train_steps", type=int, default=500)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--resolutions", default="512,448,384")
+    p.add_argument("--score_threshold", type=float, default=0.3)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (smoke/testing; the "
+                        "axon TPU tunnel serves one process at a time)")
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    from tao_amodal_tpu.data.synth_video import make_synth_videos
+    from tao_amodal_tpu.evaluation.track_eval import TrackMapEvaluator
+    from tao_amodal_tpu.pipeline import AmodalPipeline
+    from tao_amodal_tpu.utils.checkpoint import save_pytree
+
+    os.makedirs(args.workdir, exist_ok=True)
+    arch = dict(num_classes=3, num_dets=32, num_proposals=64,
+                backbone_stages=(1, 1, 1, 1), dtype=dtype)
+
+    gt_train, frames_train = make_synth_videos(
+        seed=0, num_videos=args.videos_train,
+        frames_per_video=args.frames, hw=args.hw)
+    gt_val, frames_val = make_synth_videos(
+        seed=1000, num_videos=args.videos_val,
+        frames_per_video=args.frames, hw=args.hw)
+    gt_path = os.path.join(args.workdir, "gt_val.json")
+    with open(gt_path, "w") as f:
+        json.dump(gt_val, f)
+
+    pipeline = AmodalPipeline.create(**arch)
+    variables = train(pipeline, gt_train, frames_train,
+                      args.train_steps, args.batch)
+    save_pytree(os.path.join(args.workdir, "ckpt.npz"), variables)
+
+    results = {}
+    resolutions = [int(r) for r in args.resolutions.split(",")]
+    configs = [(r, False) for r in resolutions]
+    configs.append((resolutions[0], True))  # exact top-k at base res
+
+    for res, exact in configs:
+        pipe = AmodalPipeline.create(exact_topk=exact, **arch)
+        t0 = time.time()
+        records = infer(pipe, variables, gt_val, frames_val, res,
+                        score_threshold=args.score_threshold)
+        infer_s = time.time() - t0
+        pred_path = os.path.join(args.workdir,
+                                 f"preds_{res}_{exact}.json")
+        with open(pred_path, "w") as f:
+            json.dump(records, f)
+        ev = TrackMapEvaluator(gt_path, pred_path)
+        ev.run()
+        key = f"res{res}_{'exact' if exact else 'approx'}_topk"
+        results[key] = {
+            "track_ap": round(100 * float(ev.results["AP"]), 3),
+            "track_ap50": round(100 * float(ev.results["AP50"]), 3),
+            "num_predictions": len(records),
+            "infer_seconds": round(infer_s, 1),
+        }
+        logger.info("%s: %s", key, results[key])
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    logger.info("wrote %s", args.out)
+    return results
+
+
+if __name__ == "__main__":
+    main()
