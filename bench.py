@@ -22,6 +22,12 @@ import numpy as np
 
 
 def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--clip_len", type=int, default=16)
+    args = p.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -37,7 +43,7 @@ def main():
     # Production-shape config: ResNet-50 trunk, bf16 compute on TPU,
     # space-to-depth stem fed by the fused Pallas preprocessing kernel
     # (preproc is INSIDE the measured path: uint8 frames in).
-    T, H, W = 16, 512, 512
+    T, H, W = args.clip_len, 512, 512
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     pipeline = AmodalPipeline.create(
         num_classes=80, num_dets=64, num_proposals=128,

@@ -50,6 +50,9 @@ def default_arg_parser(description=""):
     p.add_argument("--modal", action="store_true",
                    help="also draw modal boxes")
     p.add_argument("--show_visibility", action="store_true")
+    p.add_argument("--reference_style", action="store_true",
+                   help="render GT overlays with the pixel-exact "
+                        "reference style (utils/vis_ref.py)")
     p.add_argument("--filter_tracks", type=int, nargs="*", default=None)
     p.add_argument("--expand_ratio", type=float, default=1.5,
                    help="canvas scale factor")
@@ -181,7 +184,27 @@ def render_video(dataset, video, args, category_names,
             if args.transparent and anns:
                 canvas = vis_utils.transparent_except_boxes(
                     canvas, [a["bbox"] for a in anns], origin=origin)
-            if prediction is not None:
+            if getattr(args, "reference_style", False):
+                # Pixel-exact reference rendering (vis_ref family,
+                # parity-tested against /root/reference's renderer).
+                from tao_amodal_tpu.utils import vis_ref
+
+                oy, ox = origin[1], origin[0]
+                ref_anns = [dict(a, amodal_bbox=a["bbox"])
+                            for a in anns]
+                cats = {cid: {"name": name} for cid, name in
+                        (category_names or {}).items()}
+                vis_ref.overlay_amodal_boxes_coco(
+                    canvas, ref_anns, oy=oy, ox=ox)
+                if cats:
+                    vis_ref.overlay_amodal_class_coco(
+                        canvas, ref_anns, cats, oy=oy, ox=ox)
+                if args.show_visibility:
+                    vis_ref.overlay_amodal_visibility_coco(
+                        canvas, [dict(a, amodal_is_uncertain=False)
+                                 for a in ref_anns], cats,
+                        oy=oy, ox=ox)
+            elif prediction is not None:
                 vis_utils.overlay_prediction_boxes(
                     canvas, anns, origin,
                     score_thr=args.score_threshold,
