@@ -70,8 +70,9 @@ class ClipDetector(nn.Module):
     # 128^2 map) for marginal small-object gain at this workload.
     strides: Sequence[int] = (8, 16, 32, 64, 128)
     backbone_stages: Sequence[int] = (3, 4, 6, 3)  # ResNet-50
-    # Pallas RoI pooling: forward-only fused kernel (~50x the XLA
-    # einsum form on TPU); leave False for training (autodiff) or CPU.
+    # Pallas RoI pooling (forward-only fused kernel). Measured SLOWER
+    # than the packed XLA einsum in the full graph (BENCH_NOTES.md
+    # round-2: 5.2 vs 1.4 ms/clip) — kept as an opt-in capability.
     pallas_pooling: bool = False
     # int8 post-training-quantized trunk (inference only).
     int8_backbone: bool = False
