@@ -220,6 +220,34 @@ class TaoDataset:
     def load_vids(self, ids):
         return self._load_helper(self.vids, ids)
 
+    def ann_to_rle(self, ann):
+        """Annotation segmentation -> compressed RLE.
+
+        Accepts polygons, uncompressed RLE (list counts), or compressed
+        RLE; annotations without a ``segmentation`` fall back to the
+        bbox rectangle (so segm-mode track IoU is defined for
+        box-only predictions, matching the degenerate box-polygon
+        segmentations ``TaoResultsDataset`` synthesizes).
+        """
+        from tao_amodal_tpu.ops import mask as mask_ops
+
+        img = self.imgs[ann["image_id"]]
+        h, w = img["height"], img["width"]
+        segm = ann.get("segmentation")
+        if segm is None:
+            return mask_ops.from_bbox(
+                np.asarray(ann["bbox"], np.float64), h, w)[0]
+        if isinstance(segm, list):
+            return mask_ops.merge(mask_ops.fr_py_objects(segm, h, w))
+        if isinstance(segm.get("counts"), list):
+            return mask_ops.fr_py_objects(segm, h, w)
+        return segm
+
+    def ann_to_mask(self, ann):
+        from tao_amodal_tpu.ops import mask as mask_ops
+
+        return mask_ops.decode(self.ann_to_rle(ann))
+
     # ------------------------------------------------------------------
     # Columnar device view
     # ------------------------------------------------------------------

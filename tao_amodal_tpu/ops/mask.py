@@ -152,6 +152,17 @@ def merge(rles, intersect=False):
     return encode(combined.astype(np.uint8))
 
 
+def intersect_area(a, b):
+    """Exact ``|A ∩ B|`` (pixel count) of two same-size RLEs."""
+    native = _get_native()
+    if native is not None:
+        acc = native.merge_pair(
+            np.asarray(_counts_list(a), np.uint32),
+            np.asarray(_counts_list(b), np.uint32), intersect=True)
+        return int(np.asarray(acc)[1::2].sum())
+    return int(np.logical_and(decode(a), decode(b)).sum())
+
+
 def iou(dt, gt, iscrowd):
     """Pairwise IoU of detections vs gts; boxes or RLEs.
 
