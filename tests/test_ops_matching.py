@@ -74,6 +74,39 @@ def test_numpy_matches_spec_random():
                 np.testing.assert_array_equal(e, g)
 
 
+def test_numpy_matches_spec_adversarial_ids():
+    """Fuzz with hostile id values (0, negative, duplicates) and a bias
+    toward single-gt cells: every hand-optimized fast path in
+    greedy_match (the single-gt first-clearing path guards on
+    ``dt_ids.min() > 0``) must fall back to spec behavior whenever its
+    precondition fails — id 0 re-enables gt stealing via the reference's
+    ``stored id > 0`` matched test, so the fast path may only run when
+    no dt id can store a non-positive value."""
+    rng = np.random.RandomState(21)
+    for case in range(120):
+        # Bias toward the single-gt fast path (G == 1) half the time.
+        G = 1 if case % 2 else rng.randint(0, 5)
+        D = rng.randint(0, 9)
+        ious, gt_ig, dt_ids, gt_ids = _random_case(rng, D, G)
+        if D:
+            # Sprinkle adversarial ids: zeros, negatives, duplicates.
+            k = rng.randint(0, D + 1)
+            idx = rng.choice(D, size=k, replace=False)
+            dt_ids[idx] = rng.choice(
+                [0.0, -1.0, -7.0, 0.5, 2.0], size=k)
+        if G:
+            gt_ids[rng.rand(G) < 0.3] = rng.choice([0.0, -3.0, 11.0])
+        for unmatched in (-1.0, 0.0):
+            exp = _spec_match(ious, gt_ig, dt_ids, gt_ids, IOU_THRS,
+                              unmatched)
+            got = greedy_match(ious, gt_ig, dt_ids, gt_ids, IOU_THRS,
+                               unmatched=unmatched)
+            for e, g in zip(exp, got):
+                np.testing.assert_array_equal(
+                    e, g, err_msg=f"case={case} D={D} G={G} "
+                                  f"dt_ids={dt_ids} gt_ids={gt_ids}")
+
+
 def test_id_zero_quirk():
     """A dt with id 0 must not block its matched gt (the > 0 test)."""
     ious = np.array([[0.9], [0.8]])
