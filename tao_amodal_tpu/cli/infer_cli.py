@@ -100,6 +100,7 @@ def main(argv=None):
         # SORT state threads across the video's clips (continuous
         # track ids past clip boundaries); fresh per video.
         state = pipeline.init_tracker_state()
+        track_key_map = {}  # (sort id, class) -> eval track, per video
         for start in range(0, len(images), T):
             chunk = images[start:start + T]
             pad = T - len(chunk)
@@ -117,7 +118,8 @@ def main(argv=None):
             recs = detections_to_json(
                 out, [im["id"] for im in chunk] + [-1] * pad,
                 video["id"], class_id_map=class_id_map,
-                track_id_base=video["id"] * 10 ** 6)
+                track_id_base=video["id"] * 10 ** 6,
+                track_key_map=track_key_map)
             records.extend(r for r in recs if r["image_id"] != -1)
         logger.info("video %s: %d records so far", video["name"],
                     len(records))

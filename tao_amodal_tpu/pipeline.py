@@ -117,7 +117,7 @@ class AmodalPipeline(NamedTuple):
 
 
 def detections_to_json(outputs, image_ids, video_id, class_id_map=None,
-                       track_id_base=0):
+                       track_id_base=0, track_key_map=None):
     """Device outputs -> prediction-JSON records (host side).
 
     Args:
@@ -127,12 +127,21 @@ def detections_to_json(outputs, image_ids, video_id, class_id_map=None,
         (e.g. ``video_id * 10**6``) so ids are globally unique, as the
         results loader requires (reference ``results.py`` asserts one
         video per track id).
+      track_key_map: dict threading (sort_track_id, category) -> local
+        track index across a video's clips.  The results loader also
+        asserts ONE category per track (reference ``tao.py:148-149``);
+        SORT association is class-agnostic, so a track whose per-frame
+        argmax class drifts must split into one eval track per class.
+        Pass the same dict for every clip of a video (fresh per video);
+        ``None`` uses a fresh map for this call only.
     """
     boxes = np.asarray(outputs["boxes"])
     scores = np.asarray(outputs["scores"])
     classes = np.asarray(outputs["classes"])
     tracks = np.asarray(outputs["track_ids"])
     valid = np.asarray(outputs["valid"])
+    if track_key_map is None:
+        track_key_map = {}
     records = []
     for t, img_id in enumerate(image_ids):
         for d in np.nonzero(valid[t])[0]:
@@ -140,13 +149,15 @@ def detections_to_json(outputs, image_ids, video_id, class_id_map=None,
             cat = int(classes[t, d])
             if class_id_map is not None:
                 cat = class_id_map.get(cat, cat)
+            key = (int(tracks[t, d]), cat)
+            local = track_key_map.setdefault(key, len(track_key_map))
             records.append({
                 "image_id": int(img_id),
                 "category_id": cat,
                 "bbox": [float(x0), float(y0), float(x1 - x0),
                          float(y1 - y0)],
                 "score": float(scores[t, d]),
-                "track_id": int(tracks[t, d]) + track_id_base,
+                "track_id": local + track_id_base,
                 "video_id": int(video_id),
             })
     return records

@@ -15,7 +15,11 @@ import os
 
 class _FrameDirWriter:
     def __init__(self, path, fps):
-        self.dir = os.path.splitext(path)[0] + "_frames"
+        # A video-extension path means we're a fallback for a failed
+        # video backend -> write next to it; an extension-less path IS
+        # the requested frame directory.
+        root, ext = os.path.splitext(path)
+        self.dir = root + "_frames" if ext else path
         os.makedirs(self.dir, exist_ok=True)
         self.count = 0
 
@@ -77,16 +81,22 @@ def video_writer(path, fps=30, size_wh=None):
     Frames are RGB uint8.  Dimensions are snapped to even values
     (yuv420p constraint, reference ``video.py:33-35``).
     """
+    import os
+
     writer = None
-    try:
-        writer = _ImageioWriter(path, fps)
-    except Exception:
-        if size_wh is not None:
-            try:
-                writer = _Cv2Writer(path, fps, size_wh)
-            except Exception:
-                writer = None
+    ext = os.path.splitext(path)[1].lower()
+    is_video = ext in (".mp4", ".avi", ".mov", ".mkv", ".webm", ".gif")
+    if is_video:
+        try:
+            writer = _ImageioWriter(path, fps)
+        except Exception:
+            if size_wh is not None:
+                try:
+                    writer = _Cv2Writer(path, fps, size_wh)
+                except Exception:
+                    writer = None
     if writer is None:
+        # No (or unknown) video extension -> a directory of frames.
         writer = _FrameDirWriter(path, fps)
     try:
         yield writer

@@ -49,3 +49,33 @@ def test_infer_then_eval(tmp_path, tiny_pipeline):
     # the metric schema.
     assert "TAO 3DmAP" in trk
     assert "AP" in det
+
+
+def test_detections_to_json_splits_class_drift():
+    """A SORT track whose argmax class drifts must emit one eval track
+    per (track, class): the results loader asserts one category per
+    track (reference tao.py:148-149)."""
+    import numpy as np
+
+    from tao_amodal_tpu.pipeline import detections_to_json
+
+    out = {
+        "boxes": np.array([[[0, 0, 10, 10]], [[1, 1, 11, 11]]],
+                          np.float32),
+        "scores": np.array([[0.9], [0.8]], np.float32),
+        "classes": np.array([[2], [5]], np.int32),   # drift: 2 -> 5
+        "track_ids": np.array([[7], [7]], np.int32),  # same SORT track
+        "valid": np.array([[True], [True]]),
+    }
+    key_map = {}
+    recs = detections_to_json(out, [100, 101], video_id=3,
+                              track_id_base=3 * 10 ** 6,
+                              track_key_map=key_map)
+    assert len(recs) == 2
+    assert recs[0]["track_id"] != recs[1]["track_id"]
+    # Same (track, class) in a later clip keeps a stable id.
+    recs2 = detections_to_json(out, [102, 103], video_id=3,
+                               track_id_base=3 * 10 ** 6,
+                               track_key_map=key_map)
+    assert recs2[0]["track_id"] == recs[0]["track_id"]
+    assert recs2[1]["track_id"] == recs[1]["track_id"]

@@ -106,6 +106,7 @@ def infer(pipeline, variables, gt, frames_by_video, input_size,
         scale = min(S / H, S / W)
         arr = frames_by_video[v]
         state = pipeline.init_tracker_state()
+        track_key_map = {}  # (sort id, class) -> eval track, per video
         for start in range(0, len(images), T):
             chunk = images[start:start + T]
             pad = T - len(chunk)
@@ -121,7 +122,8 @@ def infer(pipeline, variables, gt, frames_by_video, input_size,
             recs = detections_to_json(
                 out, [im["id"] for im in chunk] + [-1] * pad, v,
                 class_id_map=class_id_map,
-                track_id_base=v * 10 ** 6)
+                track_id_base=v * 10 ** 6,
+                track_key_map=track_key_map)
             records.extend(r for r in recs if r["image_id"] != -1)
     return records
 
@@ -138,6 +140,9 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--resolutions", default="512,448,384")
     p.add_argument("--score_threshold", type=float, default=0.3)
+    p.add_argument("--resume_ckpt", default=None,
+                   help="skip training; load variables from this "
+                        "save_pytree .npz (e.g. <workdir>/ckpt.npz)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke/testing; the "
                         "axon TPU tunnel serves one process at a time)")
@@ -174,9 +179,15 @@ def main(argv=None):
         json.dump(gt_val, f)
 
     pipeline = AmodalPipeline.create(**arch)
-    variables = train(pipeline, gt_train, frames_train,
-                      args.train_steps, args.batch)
-    save_pytree(os.path.join(args.workdir, "ckpt.npz"), variables)
+    if args.resume_ckpt:
+        from tao_amodal_tpu.utils.checkpoint import load_pytree
+
+        variables = load_pytree(args.resume_ckpt)
+        logger.info("loaded variables from %s", args.resume_ckpt)
+    else:
+        variables = train(pipeline, gt_train, frames_train,
+                          args.train_steps, args.batch)
+        save_pytree(os.path.join(args.workdir, "ckpt.npz"), variables)
 
     results = {}
     resolutions = [int(r) for r in args.resolutions.split(",")]
