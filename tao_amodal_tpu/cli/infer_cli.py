@@ -64,7 +64,7 @@ def main(argv=None):
     from tao_amodal_tpu.ops.pallas.preproc import preprocess_clip
     from tao_amodal_tpu.pipeline import (
         AmodalPipeline,
-        detections_to_json,
+        video_detections_to_json,
     )
 
     dataset = TaoDataset(args.annotation)
@@ -100,7 +100,7 @@ def main(argv=None):
         # SORT state threads across the video's clips (continuous
         # track ids past clip boundaries); fresh per video.
         state = pipeline.init_tracker_state()
-        track_key_map = {}  # (sort id, class) -> eval track, per video
+        clips = []
         for start in range(0, len(images), T):
             chunk = images[start:start + T]
             pad = T - len(chunk)
@@ -115,12 +115,12 @@ def main(argv=None):
             out = jax.tree_util.tree_map(np.asarray, out)
             # Undo the letterbox scale back to source pixels.
             out["boxes"] = out["boxes"] / scale
-            recs = detections_to_json(
-                out, [im["id"] for im in chunk] + [-1] * pad,
-                video["id"], class_id_map=class_id_map,
-                track_id_base=video["id"] * 10 ** 6,
-                track_key_map=track_key_map)
-            records.extend(r for r in recs if r["image_id"] != -1)
+            clips.append((out, [im["id"] for im in chunk] + [-1] * pad))
+        # Whole-video emission: one majority-vote class per track (the
+        # GTR output contract; avoids fragmenting tracks per class).
+        records.extend(video_detections_to_json(
+            clips, video["id"], class_id_map=class_id_map,
+            track_id_base=video["id"] * 10 ** 6))
         logger.info("video %s: %d records so far", video["name"],
                     len(records))
 

@@ -47,12 +47,17 @@ def _resize_weights(src, dst, scale):
 
 
 def make_letterbox_weights(src_hw, dst, dtype=jnp.float32):
-    """(Wy [dst, H], Wx [dst, W], scale) for aspect-preserving
-    letterbox into a ``dst x dst`` square."""
+    """(Wy [dstH, H], Wx [dstW, W], scale) for aspect-preserving
+    letterbox into ``dst x dst`` (int) or ``(dstH, dstW)`` output.
+
+    A rectangular dst matched to the source aspect (e.g. 4:3 video ->
+    512x384) avoids burning backbone FLOPs/bandwidth on square padding
+    while keeping the same max-side resolution policy."""
     H, W = src_hw
-    scale = min(dst / H, dst / W)
-    wy = _resize_weights(H, dst, scale)
-    wx = _resize_weights(W, dst, scale)
+    dst_h, dst_w = (dst, dst) if isinstance(dst, int) else dst
+    scale = min(dst_h / H, dst_w / W)
+    wy = _resize_weights(H, dst_h, scale)
+    wx = _resize_weights(W, dst_w, scale)
     return jnp.asarray(wy, dtype), jnp.asarray(wx, dtype), scale
 
 
@@ -98,28 +103,30 @@ def preprocess_frames_pallas(frames, wy, wx, mean, std, out_size=512):
     from jax.experimental.pallas import tpu as pltpu
 
     T, H, W, C = frames.shape
-    S = out_size
+    S_h, S_w = ((out_size, out_size) if isinstance(out_size, int)
+                else out_size)
     planes = frames.transpose(0, 3, 1, 2)  # [T, C, H, W]
     mean2 = jnp.asarray(mean, jnp.float32).reshape(C, 1, 1)
     std2 = jnp.asarray(std, jnp.float32).reshape(C, 1, 1)
 
     out = pl.pallas_call(
         _preproc_kernel,
-        out_shape=jax.ShapeDtypeStruct((T, C, S, S), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, C, S_h, S_w), jnp.float32),
         grid=(T, C),
         in_specs=[
             pl.BlockSpec((1, 1, H, W), lambda t, c: (t, c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, H), lambda t, c: (0, 0),
+            pl.BlockSpec((S_h, H), lambda t, c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, W), lambda t, c: (0, 0),
+            pl.BlockSpec((S_w, W), lambda t, c: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda t, c: (c, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda t, c: (c, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, S, S), lambda t, c: (t, c, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, S_h, S_w),
+                               lambda t, c: (t, c, 0, 0),
                                memory_space=pltpu.VMEM),
     )(planes, wy, wx, mean2, std2)
     return out.transpose(0, 2, 3, 1)
@@ -157,15 +164,14 @@ def preprocess_frames_xla_s2d(frames, wy, wx, mean, std, block=4):
     all-zero resize weights, so pad cells equal ``-mean/std``.
     """
     T, H, W, C = frames.shape
-    S = wy.shape[0]
     b = block
-    s_b = S // b
-    wy_b = wy.reshape(s_b, b, H)
-    wx_b = wx.reshape(s_b, b, W)
+    s_h, s_w = wy.shape[0] // b, wx.shape[0] // b
+    wy_b = wy.reshape(s_h, b, H)
+    wx_b = wx.reshape(s_w, b, W)
     f = frames.astype(jnp.float32)
     tmp = jnp.einsum("ybh,thwc->tybwc", wy_b, f)
     out = jnp.einsum("xaw,tybwc->tyxcba", wx_b, tmp)
-    out = out.reshape(T, s_b, s_b, C * b * b)
+    out = out.reshape(T, s_h, s_w, C * b * b)
     # Per-channel mean/std repeated over the (by, bx) sub-channels.
     mean_b = jnp.repeat(jnp.asarray(mean, jnp.float32), b * b)
     std_b = jnp.repeat(jnp.asarray(std, jnp.float32), b * b)

@@ -163,6 +163,69 @@ def detections_to_json(outputs, image_ids, video_id, class_id_map=None,
     return records
 
 
+def video_detections_to_json(clips, video_id, class_id_map=None,
+                             track_id_base=0):
+    """Whole-video emission with ONE class per track (majority vote).
+
+    Args:
+      clips: list of ``(outputs, image_ids)`` pairs — every clip of one
+        video, in order, from :meth:`AmodalPipeline.streaming` with the
+        SORT state threaded through.
+
+    SORT association is class-agnostic, so a track's per-frame argmax
+    class can drift; the results loader requires one category per track
+    (reference ``tao.py:148-149``).  Instead of splitting the track per
+    class (:func:`detections_to_json`, which fragments tracks and
+    collapses 3D track IoU), assign each track its score-weighted
+    majority class over the whole video — the same one-class-per-track
+    output contract as the reference's GTR tracker.  Requires buffering
+    a video's outputs host-side; use the streaming variant only when
+    that is not possible.
+    """
+    votes = {}
+    for outputs, image_ids in clips:
+        classes = np.asarray(outputs["classes"])
+        scores = np.asarray(outputs["scores"])
+        tracks = np.asarray(outputs["track_ids"])
+        valid = np.asarray(outputs["valid"])
+        for t in range(len(image_ids)):
+            if image_ids[t] == -1:
+                continue
+            for d in np.nonzero(valid[t])[0]:
+                key = int(tracks[t, d])
+                votes.setdefault(key, {})
+                cat = int(classes[t, d])
+                votes[key][cat] = votes[key].get(cat, 0.0) \
+                    + float(scores[t, d])
+    track_class = {k: max(v.items(), key=lambda kv: kv[1])[0]
+                   for k, v in votes.items()}
+
+    records = []
+    for outputs, image_ids in clips:
+        boxes = np.asarray(outputs["boxes"])
+        scores = np.asarray(outputs["scores"])
+        tracks = np.asarray(outputs["track_ids"])
+        valid = np.asarray(outputs["valid"])
+        for t, img_id in enumerate(image_ids):
+            if img_id == -1:
+                continue
+            for d in np.nonzero(valid[t])[0]:
+                x0, y0, x1, y1 = boxes[t, d]
+                cat = track_class[int(tracks[t, d])]
+                if class_id_map is not None:
+                    cat = class_id_map.get(cat, cat)
+                records.append({
+                    "image_id": int(img_id),
+                    "category_id": cat,
+                    "bbox": [float(x0), float(y0), float(x1 - x0),
+                             float(y1 - y0)],
+                    "score": float(scores[t, d]),
+                    "track_id": int(tracks[t, d]) + track_id_base,
+                    "video_id": int(video_id),
+                })
+    return records
+
+
 def make_inference_fn(pipeline, variables):
     """Jitted clip-inference function (compile once per geometry)."""
 

@@ -79,3 +79,34 @@ def test_detections_to_json_splits_class_drift():
                                track_key_map=key_map)
     assert recs2[0]["track_id"] == recs[0]["track_id"]
     assert recs2[1]["track_id"] == recs[1]["track_id"]
+
+
+def test_video_detections_to_json_majority_class():
+    """Whole-video emission: one score-weighted majority class per SORT
+    track (GTR output contract), full track continuity."""
+    import numpy as np
+
+    from tao_amodal_tpu.pipeline import video_detections_to_json
+
+    def clip(classes, scores, tids):
+        T = len(classes)
+        return ({
+            "boxes": np.tile(np.array([[0., 0., 10., 10.]],
+                                      np.float32), (T, 1, 1)),
+            "scores": np.asarray(scores, np.float32)[:, None],
+            "classes": np.asarray(classes, np.int32)[:, None],
+            "track_ids": np.asarray(tids, np.int32)[:, None],
+            "valid": np.ones((T, 1), bool),
+        })
+
+    # Track 7 over two clips: class votes 2 (0.9+0.8) vs 5 (0.6+0.3).
+    clips = [
+        (clip([2, 5], [0.9, 0.6], [7, 7]), [100, 101]),
+        (clip([2, 5], [0.8, 0.3], [7, 7]), [102, -1]),
+    ]
+    recs = video_detections_to_json(clips, video_id=3,
+                                    track_id_base=3 * 10 ** 6)
+    assert len(recs) == 3  # padded frame dropped
+    assert all(r["category_id"] == 2 for r in recs)
+    assert len({r["track_id"] for r in recs}) == 1
+    assert {r["image_id"] for r in recs} == {100, 101, 102}

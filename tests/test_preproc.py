@@ -151,3 +151,68 @@ def test_detector_s2d_stems_run():
     out3 = det_pre.apply(v, folded)
     np.testing.assert_allclose(np.asarray(out3["boxes"]),
                                np.asarray(out["boxes"]), atol=1e-4)
+
+
+def test_rect_letterbox_matches_square_crop():
+    """Rectangular dst (4:3) == the top-left crop of the square path at
+    the same scale: same max-side policy, no dead padding."""
+    from tao_amodal_tpu.ops.pallas.preproc import (
+        make_letterbox_weights,
+        preprocess_frames_xla,
+    )
+
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 255, (2, 60, 80, 3), np.uint8)  # 4:3
+    mean = jnp.zeros(3)
+    std = jnp.ones(3)
+    wy_s, wx_s, scale_s = make_letterbox_weights((60, 80), 64)
+    sq = np.asarray(preprocess_frames_xla(frames, wy_s, wx_s, mean, std))
+    wy_r, wx_r, scale_r = make_letterbox_weights((60, 80), (48, 64))
+    rect = np.asarray(preprocess_frames_xla(frames, wy_r, wx_r, mean,
+                                            std))
+    assert scale_r == scale_s
+    assert rect.shape == (2, 48, 64, 3)
+    np.testing.assert_allclose(rect, sq[:, :48, :64], atol=1e-5)
+
+
+def test_rect_s2d_matches_canonical_fold():
+    from tao_amodal_tpu.ops.pallas.preproc import (
+        make_letterbox_weights,
+        preprocess_frames_xla,
+        preprocess_frames_xla_s2d,
+        space_to_depth,
+    )
+
+    rng = np.random.RandomState(1)
+    frames = rng.randint(0, 255, (2, 45, 61, 3), np.uint8)
+    mean = jnp.asarray([100.0, 110.0, 120.0])
+    std = jnp.asarray([50.0, 55.0, 60.0])
+    wy, wx, _ = make_letterbox_weights((45, 61), (48, 64))
+    base = preprocess_frames_xla(frames, wy, wx, mean, std)
+    want = np.asarray(space_to_depth(base, 4))
+    got = np.asarray(preprocess_frames_xla_s2d(frames, wy, wx, mean,
+                                               std))
+    assert got.shape == (2, 12, 16, 48)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_pipeline_runs_on_rect_input():
+    """Full detect+expand+track pipeline on a non-square clip (both
+    stems)."""
+    import jax
+
+    from tao_amodal_tpu.pipeline import AmodalPipeline
+
+    for stem in ("classic", "s2d_pre"):
+        pipe = AmodalPipeline.create(
+            num_classes=8, num_dets=8, num_proposals=16,
+            backbone_stages=(1, 1, 1, 1), stem=stem)
+        frames = np.random.RandomState(2).randint(
+            0, 255, (2, 96, 128, 3), np.uint8)
+        clip, scale = pipe.preprocess(frames, out_size=(96, 128),
+                                      use_pallas=False)
+        assert scale == 1.0
+        variables = pipe.init(jax.random.PRNGKey(0), clip)
+        out = pipe(variables, clip)
+        assert out["boxes"].shape == (2, 8, 4)
+        assert np.isfinite(np.asarray(out["boxes"])).all()

@@ -82,7 +82,7 @@ def infer(pipeline, variables, gt, frames_by_video, input_size,
     import jax
     import jax.numpy as jnp
 
-    from tao_amodal_tpu.pipeline import detections_to_json
+    from tao_amodal_tpu.pipeline import video_detections_to_json
 
     cat_ids = sorted(c["id"] for c in gt["categories"])
     class_id_map = dict(enumerate(cat_ids))
@@ -106,7 +106,7 @@ def infer(pipeline, variables, gt, frames_by_video, input_size,
         scale = min(S / H, S / W)
         arr = frames_by_video[v]
         state = pipeline.init_tracker_state()
-        track_key_map = {}  # (sort id, class) -> eval track, per video
+        clips = []
         for start in range(0, len(images), T):
             chunk = images[start:start + T]
             pad = T - len(chunk)
@@ -119,12 +119,10 @@ def infer(pipeline, variables, gt, frames_by_video, input_size,
             out, state = run(clip, state)
             out = jax.tree_util.tree_map(np.asarray, out)
             out["boxes"] = out["boxes"] / scale
-            recs = detections_to_json(
-                out, [im["id"] for im in chunk] + [-1] * pad, v,
-                class_id_map=class_id_map,
-                track_id_base=v * 10 ** 6,
-                track_key_map=track_key_map)
-            records.extend(r for r in recs if r["image_id"] != -1)
+            clips.append((out, [im["id"] for im in chunk] + [-1] * pad))
+        records.extend(video_detections_to_json(
+            clips, v, class_id_map=class_id_map,
+            track_id_base=v * 10 ** 6))
     return records
 
 
