@@ -28,12 +28,21 @@ from tao_amodal_tpu.trackers.sort import init_sort, sort_step
 class AmodalPipeline(NamedTuple):
     detector: ClipDetector
     expander: AmodalExpander
+    # SORT lifecycle: classic SORT defaults are (max_age=1, min_hits=3)
+    # — a track dies after ONE missed frame.  TAO video at ~1 fps
+    # annotation / 30 fps frames with a jittery detector fragments
+    # badly under that; the flagship default keeps tracks alive through
+    # short occlusions/missed detections (quantified in
+    # experiments/accuracy_study.json).
+    sort_max_age: int = 5
+    sort_min_hits: int = 1
 
     @staticmethod
     def create(num_classes=80, num_dets=64, dtype=jnp.float32,
                backbone_stages=(3, 4, 6, 3), num_proposals=128,
                pallas_pooling=False, int8_backbone=False,
-               stem="classic", exact_topk=False):
+               stem="classic", exact_topk=False,
+               sort_max_age=5, sort_min_hits=1):
         return AmodalPipeline(
             detector=ClipDetector(num_classes=num_classes,
                                   num_dets=num_dets, dtype=dtype,
@@ -43,6 +52,8 @@ class AmodalPipeline(NamedTuple):
                                   int8_backbone=int8_backbone,
                                   stem=stem, exact_topk=exact_topk),
             expander=AmodalExpander(dtype=dtype),
+            sort_max_age=sort_max_age,
+            sort_min_hits=sort_min_hits,
         )
 
     def preprocess(self, frames, out_size=512, use_pallas=None):
@@ -94,6 +105,8 @@ class AmodalPipeline(NamedTuple):
             # IoU gate instead of price-warring to -1e-3 (32x faster
             # association; see BENCH_NOTES + trackers/sort.py).
             state, out = sort_step(state, boxes, valid,
+                                   max_age=self.sort_max_age,
+                                   min_hits=self.sort_min_hits,
                                    assignment="gated_auction")
             return state, (out["det_track_id"], out["det_report"])
 
