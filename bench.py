@@ -30,6 +30,9 @@ def main():
                    help="square 512x512 source/processing geometry "
                         "(the round-1 benchmark series) instead of the "
                         "production 640x480 -> 512x384 letterbox")
+    p.add_argument("--wide", action="store_true",
+                   help="16:9 sources (1280x720 -> 512x288): the "
+                        "BDD/ArgoVerse deployment geometry")
     args = p.parse_args()
 
     import jax
@@ -58,6 +61,8 @@ def main():
     T = args.clip_len
     if args.square:
         SRC_H, SRC_W, OUT = 512, 512, (512, 512)
+    elif args.wide:
+        SRC_H, SRC_W, OUT = 720, 1280, (288, 512)
     else:
         SRC_H, SRC_W, OUT = 480, 640, (384, 512)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32

@@ -23,7 +23,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from tao_amodal_tpu.pipeline import AmodalPipeline
 
 INNER = 16
-T, H, W = 16, 512, 512
+import os
+T = 16
+H = int(os.environ.get("BD_H", "512"))
+W = int(os.environ.get("BD_W", "512"))
+SRC_H = int(os.environ.get("BD_SRC_H", str(H)))
+SRC_W = int(os.environ.get("BD_SRC_W", str(W)))
 DT = jnp.bfloat16
 
 
@@ -92,13 +97,13 @@ def main():
     det = pipeline.detector
 
     rs = np.random.RandomState(0)
-    frames = jnp.asarray(rs.randint(0, 255, (T, H, W, 3), np.uint8))
-    clip, _ = pipeline.preprocess(frames, out_size=H)
+    frames = jnp.asarray(rs.randint(0, 255, (T, SRC_H, SRC_W, 3), np.uint8))
+    clip, _ = pipeline.preprocess(frames, out_size=(H, W))
     clip = clip.astype(DT)
     variables = pipeline.init(jax.random.PRNGKey(0), clip)
     det_vars = variables["detector"]
 
-    t = chain_uint8(lambda fr: pipeline.preprocess(fr, out_size=H)[0],
+    t = chain_uint8(lambda fr: pipeline.preprocess(fr, out_size=(H, W))[0],
                     frames)
     print(f"preproc (fused s2d)        : {t*1e3:7.3f} ms/clip")
 
