@@ -135,7 +135,32 @@ class DeviceDetectionEval(AmodalDetectionEvaluator):
         # bucket processing order: collect then sort by image index.
         staging = defaultdict(list)
 
-        for (D, G), items in buckets.items():
+        # Bound the per-call image batch: the device outputs are
+        # [n, C, A, T, D]-shaped, so an unchunked many-thousand-image
+        # bucket (C=1.2k categories at TAO scale) exhausts HBM.  The
+        # chunk size keeps each output under ~100 MB while still
+        # amortizing dispatch; the pow2 bucket shape keeps one compiled
+        # program per (D, G) regardless of chunking.
+        C_n = max(len(cat_ids), 1)
+        budget = getattr(self, "chunk_budget_bytes", 100 << 20)
+        min_chunk = getattr(self, "min_chunk", 32)
+        for (D, G), bucket_items in buckets.items():
+            per_img_bytes = C_n * len(p.visibility_rng) \
+                * len(p.iou_thrs) * (D + G) * 4 * 3
+            chunk = max(min_chunk,
+                        min(4096, budget // max(per_img_bytes, 1)))
+            chunks = [bucket_items[s:s + chunk]
+                      for s in range(0, len(bucket_items), chunk)]
+            self._eval_bucket_chunks(chunks, D, G, cat_ids, cat_arr,
+                                     vis_arr, oof_arr, thrs, staging, p)
+
+        for key, entries in staging.items():
+            entries.sort(key=lambda item: item[0])
+            self.eval_imgs[key] = [e for _, e in entries]
+
+    def _eval_bucket_chunks(self, chunks, D, G, cat_ids, cat_arr,
+                            vis_arr, oof_arr, thrs, staging, p):
+        for items in chunks:
             dt, gt = self._pack(items, D, G)
             out = eval_images_device(dt, gt, cat_arr, vis_arr, oof_arr,
                                      thrs)
@@ -154,10 +179,6 @@ class DeviceDetectionEval(AmodalDetectionEvaluator):
                             "dt_scores": out["dt_scores"][bi][in_cell],
                             "gt_ignore": out["gt_ignore"][bi, c, a],
                         }))
-
-        for key, entries in staging.items():
-            entries.sort(key=lambda item: item[0])
-            self.eval_imgs[key] = [e for _, e in entries]
 
     def _pack(self, items, D, G):
         n = len(items)

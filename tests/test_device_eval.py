@@ -78,3 +78,22 @@ def test_device_eval_context_parallel_mesh(fixture_files):
     h, d = host.get_results(), dev.get_results()
     for key in h:
         assert abs(h[key] - d[key]) < 2e-3, (key, h[key], d[key])
+
+
+def test_device_detection_eval_chunked_matches_unchunked(fixture_files):
+    """Forcing tiny HBM chunk budgets must not change any metric
+    (bucket chunking is a pure batching decision)."""
+    from tao_amodal_tpu.evaluation.device_detection import (
+        DeviceDetectionEval,
+    )
+
+    gt_path, pred_path = fixture_files
+    base = DeviceDetectionEval(gt_path, pred_path, "bbox")
+    base.run()
+    chunked = DeviceDetectionEval(gt_path, pred_path, "bbox")
+    chunked.chunk_budget_bytes = 1   # every bucket splits
+    chunked.min_chunk = 2
+    chunked.run()
+    b, c = base.get_results(), chunked.get_results()
+    for key in b:
+        assert abs(b[key] - c[key]) < 1e-12, (key, b[key], c[key])
