@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections import defaultdict
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -29,6 +30,16 @@ def _next_pow2(n, lo=8):
     while p < n:
         p *= 2
     return p
+
+
+@jax.jit
+def _eval_videos_batched(dt, gt, cat_ids, area_rngs, time_rngs,
+                         use_occ, iou_thrs):
+    """vmap of :func:`eval_video_device` over a stacked video bucket."""
+    return jax.vmap(
+        lambda d, g: eval_video_device(d, g, cat_ids, area_rngs,
+                                       time_rngs, use_occ, iou_thrs)
+    )(dt, gt)
 
 
 class DeviceTrackEval(TrackMapEvaluator):
@@ -85,37 +96,90 @@ class DeviceTrackEval(TrackMapEvaluator):
         from collections import defaultdict as _dd
 
         self.eval_vids = _dd(list)
+        if self._mesh is not None:
+            # Context-parallel mode: per-video dispatch (the frame axis
+            # shards over the mesh; batching videos would fight the CP
+            # sharding).
+            for v, vid_id in enumerate(p.vid_ids):
+                entry = per_video.get(vid_id)
+                if entry is None or (
+                        not entry["dt"] and not entry["gt"]):
+                    continue
+                dt_pack, gt_pack, F = self._pack(vid_id, entry, p)
+                ious = self._cell_ious(dt_pack, gt_pack, F)
+                out = eval_video_device(dt_pack, gt_pack, cat_arr,
+                                        area_arr, time_arr, use_occ,
+                                        thrs, ious=ious)
+                self._unpack_video(
+                    {k: np.asarray(val) for k, val in out.items()},
+                    cat_ids, p)
+            return
+
+        # Bucket videos by padded (D, G, F) and evaluate each bucket
+        # chunk in ONE vmapped device call: per-video dispatch+fetch is
+        # round-trip-latency-bound on a remote chip (measured 202s for
+        # 500 videos vs 6s host — tools/stress_eval.py), while a
+        # bucketed sweep amortizes the trip across the whole chunk.
+        buckets = _dd(list)
         for v, vid_id in enumerate(p.vid_ids):
             entry = per_video.get(vid_id)
             if entry is None or (not entry["dt"] and not entry["gt"]):
                 continue
-            dt_pack, gt_pack, frame_count = self._pack(vid_id, entry, p)
-            ious = self._cell_ious(dt_pack, gt_pack, frame_count)
-            out = eval_video_device(dt_pack, gt_pack, cat_arr,
-                                    area_arr, time_arr, use_occ, thrs,
-                                    ious=ious)
-            out = {k: np.asarray(val) for k, val in out.items()}
+            dt_pack, gt_pack, F = self._pack(vid_id, entry, p,
+                                             as_jax=False)
+            D = dt_pack["boxes"].shape[0]
+            G = gt_pack["boxes"].shape[0]
+            buckets[D, G, F].append((v, dt_pack, gt_pack))
 
-            cat_present = {}
-            for c, cat in enumerate(cat_ids):
-                has = bool(out["cell_valid"][c, 0, 0])
-                cat_present[c] = has
-            for c in range(len(cat_ids)):
-                if not cat_present[c]:
-                    continue
-                for a in range(len(p.area_rng)):
-                    for t in range(len(p.time_rng)):
-                        in_cell = out["dt_in_cell"][c, a, t]
-                        self.eval_vids[c, a, t].append({
-                            "dt_matches":
-                                out["dt_matches"][c, a, t][:, in_cell],
-                            "dt_ignore":
-                                out["dt_ignore"][c, a, t][:, in_cell],
-                            "dt_scores": out["dt_scores"][in_cell],
-                            "gt_ignore": out["gt_ignore"][c, a, t],
-                        })
+        C_n = max(len(cat_ids), 1)
+        n_cells = C_n * len(p.area_rng) * len(p.time_rng) \
+            * len(p.iou_thrs)
+        budget = getattr(self, "chunk_budget_bytes", 100 << 20)
+        min_chunk = getattr(self, "min_chunk", 4)
+        staged = []  # (video index, host out dict)
+        for (D, G, F), items in sorted(buckets.items()):
+            per_video_bytes = n_cells * (D + G) * 4 * 3
+            chunk = max(min_chunk,
+                        min(1024, budget // max(per_video_bytes, 1)))
+            for s in range(0, len(items), chunk):
+                part = items[s:s + chunk]
+                dt_b = {k: jnp.asarray(np.stack(
+                    [it[1][k] for it in part]))
+                    for k in part[0][1]}
+                gt_b = {k: jnp.asarray(np.stack(
+                    [it[2][k] for it in part]))
+                    for k in part[0][2]}
+                out = _eval_videos_batched(dt_b, gt_b, cat_arr,
+                                           area_arr, time_arr,
+                                           use_occ, thrs)
+                out = {k: np.asarray(val) for k, val in out.items()}
+                for bi, (v, _d, _g) in enumerate(part):
+                    staged.append(
+                        (v, {k: val[bi] for k, val in out.items()}))
+        # Unpack in VIDEO order: accumulate()'s stable score sort is
+        # order-sensitive on ties, and the host oracle appends cells in
+        # video order.
+        staged.sort(key=lambda item: item[0])
+        for _v, out in staged:
+            self._unpack_video(out, cat_ids, p)
 
-    def _pack(self, vid_id, entry, p):
+    def _unpack_video(self, out, cat_ids, p):
+        for c in range(len(cat_ids)):
+            if not out["cell_valid"][c, 0, 0]:
+                continue
+            for a in range(len(p.area_rng)):
+                for t in range(len(p.time_rng)):
+                    in_cell = out["dt_in_cell"][c, a, t]
+                    self.eval_vids[c, a, t].append({
+                        "dt_matches":
+                            out["dt_matches"][c, a, t][:, in_cell],
+                        "dt_ignore":
+                            out["dt_ignore"][c, a, t][:, in_cell],
+                        "dt_scores": out["dt_scores"][in_cell],
+                        "gt_ignore": out["gt_ignore"][c, a, t],
+                    })
+
+    def _pack(self, vid_id, entry, p, as_jax=True):
         frames = sorted({ann["image_id"] for side in ("dt", "gt")
                          for tr in entry[side]
                          for ann in tr["annotations"]})
@@ -167,6 +231,8 @@ class DeviceTrackEval(TrackMapEvaluator):
                 for a in tr["annotations"])
             gt["ignore0"][i] = tr.get("ignore", 0)
             gt["exists"][i] = True
+        if not as_jax:
+            return dt, gt, F
         return ({k: jnp.asarray(v) for k, v in dt.items()},
                 {k: jnp.asarray(v) for k, v in gt.items()},
                 F)
