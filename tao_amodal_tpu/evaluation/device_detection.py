@@ -30,12 +30,19 @@ def eval_images_device(dt, gt, cat_ids, vis_rngs, use_oof, iou_thrs):
 
     Args:
       dt: dict of ``boxes [I, D, 4]`` (xywh), ``scores [I, D]``,
-        ``cats [I, D]``, ``nel [I, D]``, ``exists [I, D]``.
+        ``cats [I, D]``, ``nel [I, D]``, ``exists [I, D]``; optional
+        ``cell_cats [I, K]`` — per-image candidate category ids (pad
+        ``-2``).  When present, cells vmap over the K candidates
+        instead of the full category vocabulary: at LVIS scale an image
+        touches a handful of the 1.2k categories, so this cuts both the
+        cell compute and (critically, for a remote chip) the fetched
+        output volume by ~C/K.
       gt: dict of ``boxes [I, G, 4]``, ``vis [I, G]``, ``oof [I, G]``,
         ``ignore0 [I, G]``, ``cats [I, G]``, ``exists [I, G]``.
       cat_ids: ``[C]``; vis_rngs ``[A, 2]``; use_oof ``[A]`` bool.
 
-    Returns per-cell arrays ``[I, C, A, ...]``.
+    Returns per-cell arrays ``[I, C(or K), A, ...]``; match/ignore
+    tensors in compact integer dtypes (the PR math upcasts on host).
     """
     ious = jax.vmap(lambda d, g: box_iou_matrix(d, g))(
         dt["boxes"].astype(jnp.float32),
@@ -71,16 +78,21 @@ def eval_images_device(dt, gt, cat_ids, vis_rngs, use_oof, iou_thrs):
             dt_ig = jnp.logical_or(
                 dt_igm, jnp.logical_and(dt_m == 0, dt_ig_mask))
             return {
-                "dt_matches": dt_m,
+                # Compact transfer dtypes: dt_matches holds small
+                # non-negative gt ids (0 = unmatched), gt_ignore is a
+                # 0/1 flag.
+                "dt_matches": dt_m.astype(jnp.int16),
                 "dt_ignore": dt_ig,
-                "gt_ignore": jnp.where(gt_mask[perm], gt_ig, 1.0),
+                "gt_ignore": jnp.where(gt_mask[perm], gt_ig,
+                                       1.0).astype(jnp.int8),
                 "dt_in_cell": dt_mask_s,
                 "cell_valid": jnp.any(dt_mask) | jnp.any(gt_mask),
             }
 
         over_vis = jax.vmap(one_cell, in_axes=(None, 0, 0))
         over_cat = jax.vmap(over_vis, in_axes=(0, None, None))
-        out = over_cat(cat_ids, vis_rngs, use_oof)
+        cell_cats = dt_i.get("cell_cats", cat_ids)
+        out = over_cat(cell_cats, vis_rngs, use_oof)
         out["dt_scores"] = dt_i["scores"][order]
         return out
 
@@ -113,15 +125,25 @@ class DeviceDetectionEval(AmodalDetectionEvaluator):
         for (img, _cat), anns in dt_cells.items():
             per_img[img]["dt"].extend(anns)
 
-        # Bucket images by padded (D, G).
+        # Bucket images by padded (D, G, K); K bounds the per-image
+        # candidate category list (images touch a handful of the
+        # vocabulary — vmapping every cell over all C categories wastes
+        # ~C/K in compute AND in fetched bytes).
+        cat_pos = {cat: c for c, cat in enumerate(cat_ids)}
         buckets = defaultdict(list)
         for i, img_id in enumerate(p.img_ids):
             entry = per_img.get(img_id)
             if entry is None or (not entry["dt"] and not entry["gt"]):
                 continue
+            present = sorted({a["category_id"]
+                              for side in ("dt", "gt")
+                              for a in entry[side]
+                              if a["category_id"] in cat_pos})
+            entry = dict(entry, cats=present)
             D = _next_pow2(max(len(entry["dt"]), 1))
             G = _next_pow2(max(len(entry["gt"]), 1))
-            buckets[D, G].append((i, img_id, entry))
+            K = _next_pow2(max(len(present), 1))
+            buckets[D, G, K].append((i, img_id, entry))
 
         cat_arr = jnp.asarray(np.asarray(cat_ids, np.int32))
         vis_arr = jnp.asarray(np.asarray(p.visibility_rng, np.float32))
@@ -141,52 +163,55 @@ class DeviceDetectionEval(AmodalDetectionEvaluator):
         # chunk size keeps each output under ~100 MB while still
         # amortizing dispatch; the pow2 bucket shape keeps one compiled
         # program per (D, G) regardless of chunking.
-        C_n = max(len(cat_ids), 1)
         budget = getattr(self, "chunk_budget_bytes", 100 << 20)
         min_chunk = getattr(self, "min_chunk", 32)
-        for (D, G), bucket_items in buckets.items():
-            per_img_bytes = C_n * len(p.visibility_rng) \
-                * len(p.iou_thrs) * (D + G) * 4 * 3
+        for (D, G, K), bucket_items in buckets.items():
+            per_img_bytes = K * len(p.visibility_rng) \
+                * len(p.iou_thrs) * (D + G) * 3
             chunk = max(min_chunk,
                         min(4096, budget // max(per_img_bytes, 1)))
             chunks = [bucket_items[s:s + chunk]
                       for s in range(0, len(bucket_items), chunk)]
-            self._eval_bucket_chunks(chunks, D, G, cat_ids, cat_arr,
+            self._eval_bucket_chunks(chunks, D, G, K, cat_pos,
                                      vis_arr, oof_arr, thrs, staging, p)
 
         for key, entries in staging.items():
             entries.sort(key=lambda item: item[0])
             self.eval_imgs[key] = [e for _, e in entries]
 
-    def _eval_bucket_chunks(self, chunks, D, G, cat_ids, cat_arr,
+    def _eval_bucket_chunks(self, chunks, D, G, K, cat_pos,
                             vis_arr, oof_arr, thrs, staging, p):
         for items in chunks:
-            dt, gt = self._pack(items, D, G)
-            out = eval_images_device(dt, gt, cat_arr, vis_arr, oof_arr,
+            dt, gt = self._pack(items, D, G, K)
+            out = eval_images_device(dt, gt, None, vis_arr, oof_arr,
                                      thrs)
             out = {k: np.asarray(v) for k, v in out.items()}
             for bi, (i, img_id, entry) in enumerate(items):
-                for c in range(len(cat_ids)):
-                    if not out["cell_valid"][bi, c, 0]:
+                for k, cat in enumerate(entry["cats"]):
+                    if not out["cell_valid"][bi, k, 0]:
                         continue
+                    c = cat_pos[cat]
                     for a in range(len(p.visibility_rng)):
-                        in_cell = out["dt_in_cell"][bi, c, a]
+                        in_cell = out["dt_in_cell"][bi, k, a]
                         staging[c, a].append((i, {
                             "dt_matches":
-                                out["dt_matches"][bi, c, a][:, in_cell],
+                                out["dt_matches"][bi, k, a][:, in_cell],
                             "dt_ignore":
-                                out["dt_ignore"][bi, c, a][:, in_cell],
+                                out["dt_ignore"][bi, k, a][:, in_cell],
                             "dt_scores": out["dt_scores"][bi][in_cell],
-                            "gt_ignore": out["gt_ignore"][bi, c, a],
+                            "gt_ignore": out["gt_ignore"][bi, k, a],
                         }))
 
-    def _pack(self, items, D, G):
+    def _pack(self, items, D, G, K):
         n = len(items)
         dt = {"boxes": np.zeros((n, D, 4), np.float32),
               "scores": np.full((n, D), -np.inf, np.float32),
               "cats": np.full((n, D), -1, np.int32),
               "nel": np.zeros((n, D), bool),
-              "exists": np.zeros((n, D), bool)}
+              "exists": np.zeros((n, D), bool),
+              # Per-image candidate categories; -2 pad can't collide
+              # with the -1 category-agnostic pseudo-id.
+              "cell_cats": np.full((n, K), -2, np.int32)}
         gt = {"boxes": np.zeros((n, G, 4), np.float32),
               "vis": np.zeros((n, G), np.float32),
               "oof": np.zeros((n, G), bool),
@@ -194,6 +219,8 @@ class DeviceDetectionEval(AmodalDetectionEvaluator):
               "cats": np.full((n, G), -1, np.int32),
               "exists": np.zeros((n, G), bool)}
         for b, (_i, img_id, entry) in enumerate(items):
+            for k, cat in enumerate(entry["cats"][:K]):
+                dt["cell_cats"][b, k] = cat
             for j, ann in enumerate(entry["dt"][:D]):
                 dt["boxes"][b, j] = ann["bbox"]
                 dt["scores"][b, j] = ann["score"]
