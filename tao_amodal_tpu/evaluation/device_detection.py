@@ -170,19 +170,26 @@ class DeviceDetectionEval(AmodalDetectionEvaluator):
                 * len(p.iou_thrs) * (D + G) * 3
             chunk = max(min_chunk,
                         min(4096, budget // max(per_img_bytes, 1)))
+            # Fixed chunk length (pow2-capped) so each (D, G, K)
+            # bucket compiles once; _pack zero-pads the tail and the
+            # unpack loop only reads the real entries.
+            chunk = min(chunk, _next_pow2(len(bucket_items),
+                                          lo=min_chunk))
             chunks = [bucket_items[s:s + chunk]
                       for s in range(0, len(bucket_items), chunk)]
             self._eval_bucket_chunks(chunks, D, G, K, cat_pos,
-                                     vis_arr, oof_arr, thrs, staging, p)
+                                     vis_arr, oof_arr, thrs, staging, p,
+                                     pad_to=chunk)
 
         for key, entries in staging.items():
             entries.sort(key=lambda item: item[0])
             self.eval_imgs[key] = [e for _, e in entries]
 
     def _eval_bucket_chunks(self, chunks, D, G, K, cat_pos,
-                            vis_arr, oof_arr, thrs, staging, p):
+                            vis_arr, oof_arr, thrs, staging, p,
+                            pad_to=None):
         for items in chunks:
-            dt, gt = self._pack(items, D, G, K)
+            dt, gt = self._pack(items, D, G, K, pad_to=pad_to)
             out = eval_images_device(dt, gt, None, vis_arr, oof_arr,
                                      thrs)
             out = {k: np.asarray(v) for k, v in out.items()}
@@ -202,8 +209,8 @@ class DeviceDetectionEval(AmodalDetectionEvaluator):
                             "gt_ignore": out["gt_ignore"][bi, k, a],
                         }))
 
-    def _pack(self, items, D, G, K):
-        n = len(items)
+    def _pack(self, items, D, G, K, pad_to=None):
+        n = pad_to or len(items)
         dt = {"boxes": np.zeros((n, D, 4), np.float32),
               "scores": np.full((n, D), -np.inf, np.float32),
               "cats": np.full((n, D), -1, np.int32),

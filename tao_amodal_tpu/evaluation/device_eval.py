@@ -141,15 +141,25 @@ class DeviceTrackEval(TrackMapEvaluator):
             per_video_bytes = n_cells * (D + G) * 4 * 3
             chunk = max(min_chunk,
                         min(1024, budget // max(per_video_bytes, 1)))
+            # One compiled program per bucket: fix the video axis at
+            # `chunk` and zero-pad the tail (exists=False videos fall
+            # out via cell_valid). Distinct remainder lengths would
+            # otherwise each recompile — ruinous through a remote
+            # tunnel where one compile costs tens of seconds.
+            chunk = min(chunk, _next_pow2(len(items), lo=min_chunk))
             for s in range(0, len(items), chunk):
                 part = items[s:s + chunk]
-                dt_b = {k: jnp.asarray(np.stack(
-                    [it[1][k] for it in part]))
-                    for k in part[0][1]}
-                gt_b = {k: jnp.asarray(np.stack(
-                    [it[2][k] for it in part]))
-                    for k in part[0][2]}
-                out = _eval_videos_batched(dt_b, gt_b, cat_arr,
+                pad = chunk - len(part)
+
+                def stack(idx):
+                    return {k: jnp.asarray(np.concatenate(
+                        [np.stack([it[idx][k] for it in part])]
+                        + ([np.zeros((pad,) + part[0][idx][k].shape,
+                                     part[0][idx][k].dtype)]
+                           if pad else [])))
+                        for k in part[0][idx]}
+
+                out = _eval_videos_batched(stack(1), stack(2), cat_arr,
                                            area_arr, time_arr,
                                            use_occ, thrs)
                 out = {k: np.asarray(val) for k, val in out.items()}

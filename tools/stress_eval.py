@@ -48,10 +48,14 @@ def main(argv=None):
                    help="force the CPU backend (leave the TPU free)")
     args = p.parse_args(argv)
 
-    if args.cpu:
-        import jax
+    import jax
 
+    if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # Persistent compile cache: the device-eval timings below measure
+    # execution, not the (tunnel-bound) one-time XLA compiles.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from fixture_gen import make_fixture
 
