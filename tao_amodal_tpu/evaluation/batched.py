@@ -99,9 +99,14 @@ def eval_video_device(dt, gt, cat_ids, area_rngs, time_rngs, use_occ,
             dt_igm, jnp.logical_and(dt_m == -1, dt_ig_mask))
         cell_has = jnp.any(dt_mask) | jnp.any(gt_mask)
         return {
-            "dt_matches": dt_m,
+            # Compact transfer dtypes (fetch volume is the cost on a
+            # remote chip): dt_matches holds small local gt ids
+            # (-1 = unmatched), gt_ignore is a 0/1 flag; the host PR
+            # math only tests ``!= -1`` / ``== 0``.
+            "dt_matches": dt_m.astype(jnp.int16),
             "dt_ignore": dt_ig,
-            "gt_ignore": jnp.where(gt_mask[perm], gt_ig, 1.0),
+            "gt_ignore": jnp.where(gt_mask[perm], gt_ig,
+                                   1.0).astype(jnp.int8),
             "dt_in_cell": dt_mask_sorted,
             "cell_valid": cell_has,
         }
@@ -109,7 +114,11 @@ def eval_video_device(dt, gt, cat_ids, area_rngs, time_rngs, use_occ,
     over_time = jax.vmap(one_cell, in_axes=(None, None, 0, None))
     over_area = jax.vmap(over_time, in_axes=(None, 0, None, 0))
     over_cat = jax.vmap(over_area, in_axes=(0, None, None, None))
-    out = over_cat(cat_ids, area_rngs, time_rngs, use_occ)
+    # Per-video candidate categories (``dt["cell_cats"] [K]``, pad -2)
+    # replace the full vocabulary when provided — a video touches a
+    # handful of categories, so cells and fetched bytes shrink ~C/K.
+    cell_cats = dt.get("cell_cats", cat_ids)
+    out = over_cat(cell_cats, area_rngs, time_rngs, use_occ)
     out["dt_scores"] = dt["scores"][order]
     out["dt_order"] = order
     return out

@@ -112,7 +112,7 @@ class DeviceTrackEval(TrackMapEvaluator):
                                         thrs, ious=ious)
                 self._unpack_video(
                     {k: np.asarray(val) for k, val in out.items()},
-                    cat_ids, p)
+                    cat_ids, {c: i for i, c in enumerate(cat_ids)}, p)
             return
 
         # Bucket videos by padded (D, G, F) and evaluate each bucket
@@ -120,25 +120,35 @@ class DeviceTrackEval(TrackMapEvaluator):
         # round-trip-latency-bound on a remote chip (measured 202s for
         # 500 videos vs 6s host — tools/stress_eval.py), while a
         # bucketed sweep amortizes the trip across the whole chunk.
+        cat_pos = {cat: c for c, cat in enumerate(cat_ids)}
         buckets = _dd(list)
         for v, vid_id in enumerate(p.vid_ids):
             entry = per_video.get(vid_id)
             if entry is None or (not entry["dt"] and not entry["gt"]):
                 continue
+            present = sorted({tr["category_id"]
+                              for side in ("dt", "gt")
+                              for tr in entry[side]
+                              if tr["category_id"] in cat_pos})
+            K = _next_pow2(max(len(present), 1), lo=4)
             dt_pack, gt_pack, F = self._pack(vid_id, entry, p,
                                              as_jax=False)
+            cell_cats = np.full((K,), -2, np.int32)
+            cell_cats[:len(present)] = present
+            dt_pack["cell_cats"] = cell_cats
             D = dt_pack["boxes"].shape[0]
             G = gt_pack["boxes"].shape[0]
-            buckets[D, G, F].append((v, dt_pack, gt_pack))
+            buckets[D, G, F, K].append((v, dt_pack, gt_pack, present))
 
         C_n = max(len(cat_ids), 1)
         n_cells = C_n * len(p.area_rng) * len(p.time_rng) \
             * len(p.iou_thrs)
         budget = getattr(self, "chunk_budget_bytes", 100 << 20)
         min_chunk = getattr(self, "min_chunk", 4)
-        staged = []  # (video index, host out dict)
-        for (D, G, F), items in sorted(buckets.items()):
-            per_video_bytes = n_cells * (D + G) * 4 * 3
+        staged = []  # (video index, host out dict, present cats)
+        for (D, G, F, K), items in sorted(buckets.items()):
+            per_video_bytes = K * len(p.area_rng) * len(p.time_rng) \
+                * len(p.iou_thrs) * (D + G) * 3
             chunk = max(min_chunk,
                         min(1024, budget // max(per_video_bytes, 1)))
             # One compiled program per bucket: fix the video axis at
@@ -159,34 +169,36 @@ class DeviceTrackEval(TrackMapEvaluator):
                            if pad else [])))
                         for k in part[0][idx]}
 
-                out = _eval_videos_batched(stack(1), stack(2), cat_arr,
+                out = _eval_videos_batched(stack(1), stack(2), None,
                                            area_arr, time_arr,
                                            use_occ, thrs)
                 out = {k: np.asarray(val) for k, val in out.items()}
-                for bi, (v, _d, _g) in enumerate(part):
+                for bi, (v, _d, _g, present) in enumerate(part):
                     staged.append(
-                        (v, {k: val[bi] for k, val in out.items()}))
+                        (v, {k: val[bi] for k, val in out.items()},
+                         present))
         # Unpack in VIDEO order: accumulate()'s stable score sort is
         # order-sensitive on ties, and the host oracle appends cells in
         # video order.
         staged.sort(key=lambda item: item[0])
-        for _v, out in staged:
-            self._unpack_video(out, cat_ids, p)
+        for _v, out, present in staged:
+            self._unpack_video(out, present, cat_pos, p)
 
-    def _unpack_video(self, out, cat_ids, p):
-        for c in range(len(cat_ids)):
-            if not out["cell_valid"][c, 0, 0]:
+    def _unpack_video(self, out, present, cat_pos, p):
+        for k, cat in enumerate(present):
+            if not out["cell_valid"][k, 0, 0]:
                 continue
+            c = cat_pos[cat]
             for a in range(len(p.area_rng)):
                 for t in range(len(p.time_rng)):
-                    in_cell = out["dt_in_cell"][c, a, t]
+                    in_cell = out["dt_in_cell"][k, a, t]
                     self.eval_vids[c, a, t].append({
                         "dt_matches":
-                            out["dt_matches"][c, a, t][:, in_cell],
+                            out["dt_matches"][k, a, t][:, in_cell],
                         "dt_ignore":
-                            out["dt_ignore"][c, a, t][:, in_cell],
+                            out["dt_ignore"][k, a, t][:, in_cell],
                         "dt_scores": out["dt_scores"][in_cell],
-                        "gt_ignore": out["gt_ignore"][c, a, t],
+                        "gt_ignore": out["gt_ignore"][k, a, t],
                     })
 
     def _pack(self, vid_id, entry, p, as_jax=True):
