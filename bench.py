@@ -26,13 +26,14 @@ def main():
 
     p = argparse.ArgumentParser()
     p.add_argument("--clip_len", type=int, default=16)
-    p.add_argument("--square", action="store_true",
-                   help="square 512x512 source/processing geometry "
-                        "(the round-1 benchmark series) instead of the "
-                        "production 640x480 -> 512x384 letterbox")
-    p.add_argument("--wide", action="store_true",
-                   help="16:9 sources (1280x720 -> 512x288): the "
-                        "BDD/ArgoVerse deployment geometry")
+    geo = p.add_mutually_exclusive_group()
+    geo.add_argument("--square", action="store_true",
+                     help="square 512x512 source/processing geometry "
+                          "(the round-1 benchmark series) instead of "
+                          "the production 640x480 -> 512x384 letterbox")
+    geo.add_argument("--wide", action="store_true",
+                     help="16:9 sources (1280x720 -> 512x288): the "
+                          "BDD/ArgoVerse deployment geometry")
     args = p.parse_args()
 
     import jax

@@ -183,7 +183,7 @@ def load_results(dataset, result_dir, tracker_names):
     return packed
 
 
-def evaluate(dataset, result_dir, tracker_names):
+def evaluate(dataset, result_dir, tracker_names, plots=False):
     from tao_amodal_tpu.evaluation.sot_benchmarks import OPEBenchmark
 
     packed = load_results(dataset, result_dir, tracker_names)
@@ -192,10 +192,78 @@ def evaluate(dataset, result_dir, tracker_names):
     precision = bench.eval_precision(tracker_names)
     text = bench.show_result(success, precision)
     print(text)
+    if plots:
+        from tao_amodal_tpu.evaluation.sot_plots import (
+            draw_success_precision)
+
+        paths = draw_success_precision(
+            success, name=os.path.basename(result_dir) or "benchmark",
+            precision_ret=precision,
+            out_prefix=os.path.join(result_dir, "ope"))
+        for path in paths:
+            logger.info("wrote %s", path)
     return {
         name: float(np.mean([v.mean() for v in seqs.values()]))
         for name, seqs in success.items()
     }
+
+
+def load_vot_results(dataset, result_dir, tracker_names):
+    """Pack VOT restart-protocol trajectories (``baseline/<seq>_*.txt``
+    with [1]/[2]/[0] markers, as :func:`run_vot_protocol` writes them)
+    into the :class:`EAOBenchmark` dataset format."""
+    from glob import glob
+
+    from PIL import Image
+
+    packed = {}
+    for seq in dataset:
+        w = h = None
+        if seq.frames:
+            with Image.open(seq.frames[0]) as im:
+                w, h = im.size
+        entry = {"gt_traj": [list(map(float, b))
+                             for b in np.asarray(seq.gt_boxes)],
+                 "pred_trajs": {}}
+        if w is not None:
+            entry["width"], entry["height"] = w, h
+        tags = {k: v for k, v in seq.attributes.items()
+                if isinstance(v, (list, np.ndarray))
+                and len(v) == len(seq.gt_boxes)
+                and k != "polygon"}
+        if tags:
+            entry["tags"] = tags
+        for name in tracker_names:
+            runs = []
+            for path in sorted(glob(os.path.join(
+                    result_dir, name, "baseline", f"{seq.name}_*.txt"))):
+                with open(path) as fh:
+                    runs.append([[float(v) for v in ln.split(",")]
+                                 for ln in fh if ln.strip()])
+            if runs:
+                entry["pred_trajs"][name] = runs
+        packed[seq.name] = entry
+    return packed
+
+
+def evaluate_vot(dataset, result_dir, tracker_names, plots=False,
+                 dataset_name="VOT2018"):
+    """Full VOT evaluation over restart-protocol results: fragment EAO
+    (+ radar plot) and per-sequence accuracy/robustness."""
+    from tao_amodal_tpu.evaluation.sot_benchmarks import EAOBenchmark
+
+    packed = load_vot_results(dataset, result_dir, tracker_names)
+    bench = EAOBenchmark(packed, name=dataset_name)
+    result = bench.eval(tracker_names)
+    print(bench.show_result(result))
+    if plots:
+        from tao_amodal_tpu.evaluation.sot_plots import draw_eao
+
+        path = draw_eao(result,
+                        out_path=os.path.join(result_dir, "eao.png"))
+        if path:
+            logger.info("wrote %s", path)
+    return result
 
 
 def hp_search(build_tracker_fn, dataset, result_dir, grid):
@@ -225,6 +293,12 @@ def main(argv=None):
     p.add_argument("--result_dir", default="./sot_results")
     p.add_argument("--eval_only", action="store_true")
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--plots", action="store_true",
+                   help="write success/precision (and EAO, for VOT "
+                        "restart results) figures into --result_dir")
+    p.add_argument("--vot_protocol", action="store_true",
+                   help="run/evaluate the VOT restart protocol "
+                        "(fragment EAO) instead of OPE")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -242,8 +316,16 @@ def main(argv=None):
 
             kwargs["params"] = load_pytree(args.checkpoint)
         tracker = build_tracker(args.tracker, **kwargs)
-        run_dataset(tracker, dataset, args.result_dir, args.tracker)
-    return evaluate(dataset, args.result_dir, [args.tracker])
+        if args.vot_protocol:
+            run_vot_protocol(tracker, dataset, args.result_dir,
+                             args.tracker)
+        else:
+            run_dataset(tracker, dataset, args.result_dir, args.tracker)
+    if args.vot_protocol:
+        return evaluate_vot(dataset, args.result_dir, [args.tracker],
+                            plots=args.plots)
+    return evaluate(dataset, args.result_dir, [args.tracker],
+                    plots=args.plots)
 
 
 if __name__ == "__main__":

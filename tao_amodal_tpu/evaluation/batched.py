@@ -53,6 +53,10 @@ def eval_video_device(dt, gt, cat_ids, area_rngs, time_rngs, use_occ,
     """
     D = dt["scores"].shape[0]
     G = gt["cats"].shape[0]
+    # dt_matches travels as int16 (compact transfer dtype); gt ids are
+    # arange(G)+101, so the padded track count must fit in int16.
+    assert G + 101 < 2 ** 15, (
+        f"padded gt track count {G} overflows the int16 match ids")
 
     if ious is None:
         ious = track_iou_matrix(

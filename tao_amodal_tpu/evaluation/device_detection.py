@@ -53,6 +53,9 @@ def eval_images_device(dt, gt, cat_ids, vis_rngs, use_oof, iou_thrs):
         iou_s = iou_i[order]
         D = dt_i["scores"].shape[0]
         G = gt_i["cats"].shape[0]
+        # dt_matches travels as int16; gt ids are arange(G)+101.
+        assert G + 101 < 2 ** 15, (
+            f"padded gt count {G} overflows the int16 match ids")
         dt_ids = (jnp.arange(D, dtype=jnp.float32) + 1.0)[order]
 
         def one_cell(cat_id, vis_rng, oof_flag):

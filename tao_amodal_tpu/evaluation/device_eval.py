@@ -54,6 +54,14 @@ class DeviceTrackEval(TrackMapEvaluator):
 
     def __init__(self, *args, mesh=None, cp_min_frames=64, **kwargs):
         super().__init__(*args, **kwargs)
+        if self.params.iou_type == "segm":
+            # The device packer ships boxes only; evaluating segm here
+            # would silently report bbox track mAP labeled segm.  Use
+            # the host TrackMapEvaluator for segm until a device mask
+            # track-IoU path exists.
+            raise NotImplementedError(
+                "DeviceTrackEval supports iou_type='bbox' only; use the"
+                " host TrackMapEvaluator for segm track mAP.")
         self._mesh = mesh
         self._cp_min_frames = cp_min_frames
 

@@ -146,15 +146,16 @@ def detections_to_json(outputs, image_ids, video_id, class_id_map=None,
         SORT association is class-agnostic, so a track whose per-frame
         argmax class drifts must split into one eval track per class.
         Pass the same dict for every clip of a video (fresh per video);
-        ``None`` uses a fresh map for this call only.
+        ``None`` emits the raw SORT track ids instead, which stay
+        globally consistent across clips of one threaded SORT state (a
+        fresh local map per clip would make ids restart at 0 and
+        collide distinct tracks from different clips).
     """
     boxes = np.asarray(outputs["boxes"])
     scores = np.asarray(outputs["scores"])
     classes = np.asarray(outputs["classes"])
     tracks = np.asarray(outputs["track_ids"])
     valid = np.asarray(outputs["valid"])
-    if track_key_map is None:
-        track_key_map = {}
     records = []
     for t, img_id in enumerate(image_ids):
         for d in np.nonzero(valid[t])[0]:
@@ -162,8 +163,11 @@ def detections_to_json(outputs, image_ids, video_id, class_id_map=None,
             cat = int(classes[t, d])
             if class_id_map is not None:
                 cat = class_id_map.get(cat, cat)
-            key = (int(tracks[t, d]), cat)
-            local = track_key_map.setdefault(key, len(track_key_map))
+            if track_key_map is None:
+                local = int(tracks[t, d])
+            else:
+                key = (int(tracks[t, d]), cat)
+                local = track_key_map.setdefault(key, len(track_key_map))
             records.append({
                 "image_id": int(img_id),
                 "category_id": cat,
