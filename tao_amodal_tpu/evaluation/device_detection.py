@@ -25,7 +25,8 @@ from tao_amodal_tpu.ops.matching import greedy_match_jax
 
 
 @jax.jit
-def eval_images_device(dt, gt, cat_ids, vis_rngs, use_oof, iou_thrs):
+def eval_images_device(dt, gt, cat_ids, vis_rngs, use_oof, iou_thrs,
+                       ious=None):
     """Evaluate a padded image batch over all cells.
 
     Args:
@@ -44,9 +45,14 @@ def eval_images_device(dt, gt, cat_ids, vis_rngs, use_oof, iou_thrs):
     Returns per-cell arrays ``[I, C(or K), A, ...]``; match/ignore
     tensors in compact integer dtypes (the PR math upcasts on host).
     """
-    ious = jax.vmap(lambda d, g: box_iou_matrix(d, g))(
-        dt["boxes"].astype(jnp.float32),
-        gt["boxes"].astype(jnp.float32))  # [I, D, G]
+    if ious is None:
+        ious = jax.vmap(lambda d, g: box_iou_matrix(d, g))(
+            dt["boxes"].astype(jnp.float32),
+            gt["boxes"].astype(jnp.float32))  # [I, D, G]
+    else:
+        # Precomputed per-image IoU (segm mode: RLE mask IoU from the
+        # native run-sweep codec, or mask_iou_dense on device).
+        ious = jnp.asarray(ious, jnp.float32)
 
     def per_image(iou_i, dt_i, gt_i):
         order = jnp.argsort(-dt_i["scores"], stable=True)
@@ -192,9 +198,9 @@ class DeviceDetectionEval(AmodalDetectionEvaluator):
                             vis_arr, oof_arr, thrs, staging, p,
                             pad_to=None):
         for items in chunks:
-            dt, gt = self._pack(items, D, G, K, pad_to=pad_to)
+            dt, gt, ious = self._pack(items, D, G, K, pad_to=pad_to)
             out = eval_images_device(dt, gt, None, vis_arr, oof_arr,
-                                     thrs)
+                                     thrs, ious=ious)
             out = {k: np.asarray(v) for k, v in out.items()}
             for bi, (i, img_id, entry) in enumerate(items):
                 for k, cat in enumerate(entry["cats"]):
@@ -228,6 +234,8 @@ class DeviceDetectionEval(AmodalDetectionEvaluator):
               "ignore0": np.zeros((n, G), np.float32),
               "cats": np.full((n, G), -1, np.int32),
               "exists": np.zeros((n, G), bool)}
+        segm = self.params.iou_type == "segm"
+        ious = np.zeros((n, D, G), np.float32) if segm else None
         for b, (_i, img_id, entry) in enumerate(items):
             for k, cat in enumerate(entry["cats"][:K]):
                 dt["cell_cats"][b, k] = cat
@@ -245,5 +253,18 @@ class DeviceDetectionEval(AmodalDetectionEvaluator):
                 gt["ignore0"][b, j] = ann.get("ignore", 0)
                 gt["cats"][b, j] = ann["category_id"]
                 gt["exists"][b, j] = True
+            if segm and entry["dt"] and entry["gt"]:
+                # Mask IoU on host through the native RLE run-sweep
+                # codec (no decode); only the (C, A, T) cell machinery
+                # runs on device.  Annotation-order matrix — the device
+                # kernel applies its own score sort.
+                from tao_amodal_tpu.ops import mask as mask_ops
+
+                m = np.asarray(mask_ops.iou(
+                    [a["segmentation"] for a in entry["dt"][:D]],
+                    [a["segmentation"] for a in entry["gt"][:G]],
+                    [0] * len(entry["gt"][:G])), np.float32)
+                ious[b, :m.shape[0], :m.shape[1]] = m
         return ({k: jnp.asarray(v) for k, v in dt.items()},
-                {k: jnp.asarray(v) for k, v in gt.items()})
+                {k: jnp.asarray(v) for k, v in gt.items()},
+                None if ious is None else jnp.asarray(ious))

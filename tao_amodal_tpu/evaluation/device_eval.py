@@ -34,12 +34,22 @@ def _next_pow2(n, lo=8):
 
 @jax.jit
 def _eval_videos_batched(dt, gt, cat_ids, area_rngs, time_rngs,
-                         use_occ, iou_thrs):
-    """vmap of :func:`eval_video_device` over a stacked video bucket."""
+                         use_occ, iou_thrs, ious=None):
+    """vmap of :func:`eval_video_device` over a stacked video bucket.
+
+    ``ious [n, D, G]``: precomputed track-IoU matrices (segm mode —
+    mask runs are host-side RLE math; matching stays on device)."""
+    if ious is None:
+        return jax.vmap(
+            lambda d, g: eval_video_device(d, g, cat_ids, area_rngs,
+                                           time_rngs, use_occ,
+                                           iou_thrs)
+        )(dt, gt)
     return jax.vmap(
-        lambda d, g: eval_video_device(d, g, cat_ids, area_rngs,
-                                       time_rngs, use_occ, iou_thrs)
-    )(dt, gt)
+        lambda d, g, i: eval_video_device(d, g, cat_ids, area_rngs,
+                                          time_rngs, use_occ,
+                                          iou_thrs, ious=i)
+    )(dt, gt, ious)
 
 
 class DeviceTrackEval(TrackMapEvaluator):
@@ -54,14 +64,6 @@ class DeviceTrackEval(TrackMapEvaluator):
 
     def __init__(self, *args, mesh=None, cp_min_frames=64, **kwargs):
         super().__init__(*args, **kwargs)
-        if self.params.iou_type == "segm":
-            # The device packer ships boxes only; evaluating segm here
-            # would silently report bbox track mAP labeled segm.  Use
-            # the host TrackMapEvaluator for segm until a device mask
-            # track-IoU path exists.
-            raise NotImplementedError(
-                "DeviceTrackEval supports iou_type='bbox' only; use the"
-                " host TrackMapEvaluator for segm track mAP.")
         self._mesh = mesh
         self._cp_min_frames = cp_min_frames
 
@@ -114,7 +116,13 @@ class DeviceTrackEval(TrackMapEvaluator):
                         not entry["dt"] and not entry["gt"]):
                     continue
                 dt_pack, gt_pack, F = self._pack(vid_id, entry, p)
-                ious = self._cell_ious(dt_pack, gt_pack, F)
+                if p.iou_type == "segm":
+                    D = dt_pack["boxes"].shape[0]
+                    G = gt_pack["boxes"].shape[0]
+                    ious = jnp.asarray(
+                        self._segm_ious(entry, p, D, G))
+                else:
+                    ious = self._cell_ious(dt_pack, gt_pack, F)
                 out = eval_video_device(dt_pack, gt_pack, cat_arr,
                                         area_arr, time_arr, use_occ,
                                         thrs, ious=ious)
@@ -146,7 +154,10 @@ class DeviceTrackEval(TrackMapEvaluator):
             dt_pack["cell_cats"] = cell_cats
             D = dt_pack["boxes"].shape[0]
             G = gt_pack["boxes"].shape[0]
-            buckets[D, G, F, K].append((v, dt_pack, gt_pack, present))
+            seg_ious = (self._segm_ious(entry, p, D, G)
+                        if p.iou_type == "segm" else None)
+            buckets[D, G, F, K].append(
+                (v, dt_pack, gt_pack, present, seg_ious))
 
         C_n = max(len(cat_ids), 1)
         n_cells = C_n * len(p.area_rng) * len(p.time_rng) \
@@ -177,11 +188,18 @@ class DeviceTrackEval(TrackMapEvaluator):
                            if pad else [])))
                         for k in part[0][idx]}
 
+                if p.iou_type == "segm":
+                    seg = np.zeros((chunk, D, G), np.float32)
+                    for bi, it in enumerate(part):
+                        seg[bi] = it[4]
+                    seg = jnp.asarray(seg)
+                else:
+                    seg = None
                 out = _eval_videos_batched(stack(1), stack(2), None,
                                            area_arr, time_arr,
-                                           use_occ, thrs)
+                                           use_occ, thrs, ious=seg)
                 out = {k: np.asarray(val) for k, val in out.items()}
-                for bi, (v, _d, _g, present) in enumerate(part):
+                for bi, (v, _d, _g, present, _s) in enumerate(part):
                     staged.append(
                         (v, {k: val[bi] for k, val in out.items()},
                          present))
@@ -266,3 +284,27 @@ class DeviceTrackEval(TrackMapEvaluator):
         return ({k: jnp.asarray(v) for k, v in dt.items()},
                 {k: jnp.asarray(v) for k, v in gt.items()},
                 F)
+
+    def _segm_ious(self, entry, p, D, G):
+        """Padded ``[D, G]`` mask track-IoU matrix for one video.
+
+        Mask runs stay on host (the native RLE run-sweep codec —
+        shipping dense HxW masks per track would swamp the
+        host->device link); the (C, A, T, thr) matching cells still
+        run on device.  Annotation-order matrix; the device kernel
+        applies its own score sort.
+        """
+        from tao_amodal_tpu.ops.track_iou import track_mask_iou_matrix
+
+        frames = sorted({ann["image_id"] for side in ("dt", "gt")
+                         for tr in entry[side]
+                         for ann in tr["annotations"]})
+        fidx = {f: i for i, f in enumerate(frames)}
+        out = np.zeros((D, G), np.float32)
+        if entry["dt"] and entry["gt"]:
+            m = np.asarray(track_mask_iou_matrix(
+                self._track_rle_columns(entry["dt"], fidx),
+                self._track_rle_columns(entry["gt"], fidx),
+                mode=p.iou_3d_type), np.float32)
+            out[:m.shape[0], :m.shape[1]] = m
+        return out

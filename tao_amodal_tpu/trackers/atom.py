@@ -70,9 +70,11 @@ class AtomTracker(Tracker):
     """Host wrapper; init/step are jitted closures.
 
     Args:
-      feature_fn: ``crop [S, S, 3] -> feats [S, S, C]`` (stride-1
-        features; plug a backbone via a resize-wrapper for deep
-        features).
+      feature_fn: ``crop [P, P, 3] -> feats [S, S, C]`` where ``P``
+        is ``sample_size`` (default ``search_size``; stride-1 pixel
+        features).  Deep features set ``sample_size = S * stride`` so
+        the backbone's stride-``stride`` map lands back on the SxS
+        response grid (see :mod:`..trackers.deep_features`).
       iou_net / iou_variables: optional IoUNet for box refinement
         (``use_iou_net`` in the reference); scale is otherwise updated
         from the multi-scale classifier search.
@@ -81,7 +83,8 @@ class AtomTracker(Tracker):
     """
 
     def __init__(self, feature_fn=None, iou_net=None,
-                 iou_variables=None, search_size=96, filter_size=15,
+                 iou_variables=None, search_size=96, sample_size=None,
+                 filter_size=15,
                  compressed_dim=8, memory_size=16,
                  search_area_scale=4.0, learning_rate=0.02,
                  hard_negative_learning_rate=0.1, train_skipping=4,
@@ -94,6 +97,7 @@ class AtomTracker(Tracker):
         self.iou_net = iou_net
         self.iou_vars = iou_variables
         self.S = search_size
+        self.P = sample_size or search_size
         self.fsz = filter_size
         self.cdim = compressed_dim
         self.K = memory_size
@@ -137,7 +141,7 @@ class AtomTracker(Tracker):
         use_iou = self.iou_net is not None
 
         def extract(image, center, crop_sz, avg):
-            crop = crop_subwindow(image, center, crop_sz, S, avg)
+            crop = crop_subwindow(image, center, crop_sz, self.P, avg)
             return self.feature_fn(crop) * window
 
         @jax.jit
@@ -149,8 +153,9 @@ class AtomTracker(Tracker):
             avg = jnp.mean(image.astype(jnp.float32), axis=(0, 1))
             crop_sz = jnp.sqrt(jnp.prod(size)) * self.area_scale
 
-            crop = crop_subwindow(image, center, crop_sz, S, avg)
-            aug = disc.augment_init_samples(crop)          # [A,S,S,3]
+            crop = crop_subwindow(image, center, crop_sz, self.P,
+                                  avg)
+            aug = disc.augment_init_samples(crop)          # [A,P,P,3]
             feats = jax.vmap(self.feature_fn)(aug) * window
             C = feats.shape[-1]
 

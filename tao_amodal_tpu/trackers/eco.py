@@ -53,17 +53,21 @@ class EcoTracker(Tracker):
     """Host wrapper; init/step are jitted closures.
 
     Args:
-      feature_fn: crop ``[S, S, 3]`` -> features ``[S, S, C]``
-        (default: normalized pixels + gradient channels).
+      feature_fn: crop ``[P, P, 3]`` -> features ``[S, S, C]``
+        with ``P = sample_size`` (default ``search_size``: stride-1
+        normalized pixels + gradient channels).  Deep features set
+        ``sample_size = S * stride`` (see
+        :mod:`..trackers.deep_features`).
     """
 
     def __init__(self, feature_fn=None, search_size=96,
-                 filter_size=15, compressed_dim=8, memory_size=16,
+                 sample_size=None, filter_size=15, compressed_dim=8, memory_size=16,
                  search_area_scale=4.0, learning_rate=0.01,
                  train_skipping=5, cg_iter=5, init_gn_iter=4,
                  init_cg_iter=6, filter_reg=1e-2, proj_reg=1e-4,
                  scale_factors=(0.97, 1.0, 1.03)):
         self.S = search_size
+        self.P = sample_size or search_size
         self.fsz = filter_size
         self.cdim = compressed_dim
         self.K = memory_size
@@ -93,7 +97,8 @@ class EcoTracker(Tracker):
         scales = jnp.asarray(self.scales)
 
         def features(image, center, crop_size, avg):
-            crop = crop_subwindow(image, center, crop_size, S, avg)
+            crop = crop_subwindow(image, center, crop_size, self.P,
+                                  avg)
             return self.feature_fn(crop) * window
 
         def label_sigma(size_px, crop_sz):
@@ -108,7 +113,8 @@ class EcoTracker(Tracker):
             avg = jnp.mean(image.astype(jnp.float32), axis=(0, 1))
             crop_sz = jnp.sqrt(jnp.prod(size)) * self.area_scale
 
-            crop = crop_subwindow(image, center, crop_sz, S, avg)
+            crop = crop_subwindow(image, center, crop_sz, self.P,
+                                  avg)
             aug = disc.augment_init_samples(crop)
             feats = jax.vmap(self.feature_fn)(aug) * window  # [A,S,S,C]
 

@@ -97,6 +97,27 @@ def _build_dimp(extractor_fn=None, iou_net=None, iou_variables=None,
     return DimpTracker(extractor_fn, iou_net, iou_variables, **kwargs)
 
 
+@register_tracker("atom_deep")
+def _build_atom_deep(**kwargs):
+    from tao_amodal_tpu.trackers.deep_features import build_deep_atom
+
+    return build_deep_atom(**kwargs)
+
+
+@register_tracker("eco_deep")
+def _build_eco_deep(**kwargs):
+    from tao_amodal_tpu.trackers.deep_features import build_deep_eco
+
+    return build_deep_eco(**kwargs)
+
+
+@register_tracker("dimp_deep")
+def _build_dimp_deep(**kwargs):
+    from tao_amodal_tpu.trackers.deep_features import build_deep_dimp
+
+    return build_deep_dimp(**kwargs)
+
+
 @register_tracker("sort")
 def _build_sort(**kwargs):
     from tao_amodal_tpu.trackers.sort import Sort

@@ -127,12 +127,11 @@ class SiamState(NamedTuple):
     zf: Any                 # cached template features (pytree)
 
 
-def make_siamrpn_step(model, params, cfg: SiamConfig = SiamConfig()):
-    """Build (init_fn, step_fn), both jittable.
-
-    ``model`` is a :class:`~tao_amodal_tpu.models.siamese.SiameseTracker`
-    linen module; ``params`` its variables.
-    """
+def _make_siamrpn_core(model, params, cfg: SiamConfig = SiamConfig()):
+    """Build ``(init_fn, step_hp)`` — the shared tracking core with the
+    (penalty_k, window_influence, lr) triple as a TRACED argument, so
+    both the fixed-config step and the vmapped hyperparameter sweep
+    close over one implementation."""
     def _apply(method_kwargs):
         return model.apply(params, **method_kwargs,
                            mutable=False)
@@ -164,9 +163,14 @@ def make_siamrpn_step(model, params, cfg: SiamConfig = SiamConfig()):
         zf = _apply(dict(template=z_crop[None], mode="template"))
         return SiamState(center, size, channel_avg, zf)
 
-    @jax.jit
-    def step_fn(state: SiamState, image):
-        """One frame -> (new_state, (box_xywh, best_score))."""
+    def step_hp(state: SiamState, image, hp):
+        """One frame with traced tracking hyperparameters.
+
+        ``hp``: ``[3]`` array ``(penalty_k, window_influence, lr)`` —
+        traced (not baked), so a whole hyperparameter grid can vmap
+        over this axis in one program (:func:`make_siamrpn_hp_sweep`).
+        """
+        penalty_k, window_influence, cfg_lr = hp[0], hp[1], hp[2]
         w_z = state.size[0] + cfg.context_amount * jnp.sum(state.size)
         h_z = state.size[1] + cfg.context_amount * jnp.sum(state.size)
         s_z = jnp.sqrt(w_z * h_z)
@@ -209,14 +213,14 @@ def make_siamrpn_step(model, params, cfg: SiamConfig = SiamConfig()):
                           state.size[1] * scale_z))
         r_c = change((state.size[0] / state.size[1])
                      / (pred[2] / pred[3]))
-        penalty = jnp.exp(-(r_c * s_c - 1.0) * cfg.penalty_k)
+        penalty = jnp.exp(-(r_c * s_c - 1.0) * penalty_k)
         pscore = penalty * score
-        pscore = (pscore * (1 - cfg.window_influence)
-                  + window * cfg.window_influence)
+        pscore = (pscore * (1 - window_influence)
+                  + window * window_influence)
         best = jnp.argmax(pscore)
 
         bbox = pred[:, best] / scale_z
-        lr = penalty[best] * score[best] * cfg.lr
+        lr = penalty[best] * score[best] * cfg_lr
         cx = bbox[0] + state.center[0]
         cy = bbox[1] + state.center[1]
         width = state.size[0] * (1 - lr) + bbox[2] * lr
@@ -234,7 +238,63 @@ def make_siamrpn_step(model, params, cfg: SiamConfig = SiamConfig()):
         box = jnp.stack([cx - width / 2, cy - height / 2, width, height])
         return new_state, (box, score[best])
 
+    return init_fn, step_hp
+
+
+def make_siamrpn_step(model, params, cfg: SiamConfig = SiamConfig()):
+    """Build (init_fn, step_fn), both jittable.
+
+    ``model`` is a :class:`~tao_amodal_tpu.models.siamese.SiameseTracker`
+    linen module; ``params`` its variables.
+    """
+    init_fn, step_hp = _make_siamrpn_core(model, params, cfg)
+    hp0 = jnp.asarray([cfg.penalty_k, cfg.window_influence, cfg.lr],
+                      jnp.float32)
+
+    @jax.jit
+    def step_fn(state: SiamState, image):
+        """One frame -> (new_state, (box_xywh, best_score))."""
+        return step_hp(state, image, hp0)
+
     return init_fn, step_fn
+
+
+def make_siamrpn_hp_sweep(model, params, cfg: SiamConfig = SiamConfig()):
+    """Whole-hyperparameter-grid tracking in ONE device program.
+
+    The reference sweeps (penalty_k, window_influence, lr) as a queue
+    of independent GPU jobs, one full tracker run per cell
+    (``pysot/tools/hp_search.py``).  TPU-first, the grid IS a batch
+    axis: N trackers advance in lockstep — each frame runs the
+    backbone/xcorr/penalty math for all N cells as one batched program
+    (vmap over the hp axis), and ``lax.scan`` carries the N tracker
+    states over the clip.  The template is embedded once and shared.
+
+    Returns ``sweep_fn(frames [T, H, W, 3], init_box, hp_grid [N, 3])
+    -> (boxes [N, T, 4], scores [N, T])``, jittable.
+    """
+    init_fn, step_hp = _make_siamrpn_core(model, params, cfg)
+
+    @jax.jit
+    def sweep_fn(frames, init_box, hp_grid):
+        state0 = init_fn(frames[0], init_box)
+        N = hp_grid.shape[0]
+        states = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (N,) + x.shape), state0)
+
+        def scan_body(states, frame):
+            new_states, (box, score) = jax.vmap(
+                step_hp, in_axes=(0, None, 0))(states, frame, hp_grid)
+            return new_states, (box, score)
+
+        _, (boxes, scores) = jax.lax.scan(scan_body, states, frames[1:])
+        first = jnp.broadcast_to(
+            jnp.asarray(init_box, jnp.float32), (1, N, 4))
+        boxes = jnp.concatenate([first, boxes])         # [T, N, 4]
+        scores = jnp.concatenate([jnp.ones((1, N)), scores])
+        return boxes.transpose(1, 0, 2), scores.transpose(1, 0)
+
+    return sweep_fn
 
 
 def track_clip(init_fn, step_fn, frames, init_box):
@@ -256,6 +316,7 @@ class SiamRPNTracker(Tracker):
     """Host-facing wrapper with the reference Tracker API."""
 
     def __init__(self, model, params, cfg: SiamConfig = SiamConfig()):
+        self.model, self.params, self.cfg = model, params, cfg
         self.init_fn, self.step_fn = make_siamrpn_step(model, params, cfg)
         self.state = None
 
