@@ -49,8 +49,13 @@ def default_arg_parser():
     parser.add_argument(
         "--device_eval", action="store_true",
         help="run the batched TPU/device evaluators (DeviceTrackEval /"
-             " DeviceDetectionEval) instead of the host path; metrics"
-             " and log output are identical")
+             " DeviceDetectionEval) instead of the host path."
+             " Tolerance contract: the device computes IoU in float32"
+             " (host: float64) — metrics are bit-identical unless a"
+             " match IoU lies within ~1 f32 ulp (6e-8 relative) of an"
+             " eval threshold, where the comparison can flip; drift is"
+             " bounded by that flip fraction"
+             " (tests/test_device_tolerance.py quantifies both cases)")
     return parser
 
 

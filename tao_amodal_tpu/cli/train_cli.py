@@ -111,6 +111,15 @@ def main(argv=None):
                         help="dotted-path overrides: key value ...")
     parser.add_argument("--smoke", action="store_true",
                         help="synthetic data, 2 tiny epochs")
+    parser.add_argument("--dataset", default=None,
+                        help="train from an on-disk benchmark layout: "
+                             "otb | vot | lasot | got10k | trackingnet "
+                             "(train splits; reference "
+                             "ltr/dataset/ + pysot TrkDataset "
+                             "capability)")
+    parser.add_argument("--dataset_root", default=None)
+    parser.add_argument("--neg_prob", type=float, default=0.2)
+    parser.add_argument("--frame_range", type=int, default=100)
     parser.add_argument("--checkpoint_dir", default="./checkpoints")
     parser.add_argument("--resume", action="store_true")
     args = parser.parse_args(argv)
@@ -138,11 +147,36 @@ def main(argv=None):
     rng = np.random.RandomState(0)
     steps = 4 if args.smoke else 50
 
-    def data_iter(epoch):
-        for _ in range(steps):
-            batch = synthetic_pair_batch(rng, cfg.train.batch_size,
-                                         cfg)
-            yield shard_batch(mesh, batch)
+    if args.dataset and args.dataset_root:
+        from tao_amodal_tpu.data.sot_datasets import load_sot_dataset
+        from tao_amodal_tpu.data.sot_train import (
+            SotSequenceSource,
+            pair_batch_iter,
+        )
+        from tao_amodal_tpu.train.sampler import TrackPairSampler
+
+        source = SotSequenceSource(
+            load_sot_dataset(args.dataset, args.dataset_root))
+        if source.num_tracks == 0:
+            raise SystemExit(
+                f"no usable sequences under {args.dataset_root}")
+        sampler = TrackPairSampler(
+            [source], frame_range=args.frame_range,
+            neg_prob=args.neg_prob, seed=0)
+        pairs = pair_batch_iter(
+            sampler, [source], cfg.train.batch_size,
+            exemplar_size=cfg.track.exemplar_size,
+            instance_size=cfg.track.instance_size)
+
+        def data_iter(epoch):
+            for _ in range(steps):
+                yield shard_batch(mesh, next(pairs))
+    else:
+        def data_iter(epoch):
+            for _ in range(steps):
+                batch = synthetic_pair_batch(rng, cfg.train.batch_size,
+                                             cfg)
+                yield shard_batch(mesh, batch)
 
     trainer = Trainer(
         step, state, data_iter,

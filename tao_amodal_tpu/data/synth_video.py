@@ -179,9 +179,16 @@ def write_frames(gt, frames_by_video, images_dir):
 
 
 def training_batches(gt, frames_by_video, rng, batch_size, max_gt=8,
-                     steps=100):
+                     steps=100, augment=False, scale_range=(0.7, 1.3)):
     """Yield detector-training batches (images + visible/amodal gt)
-    sampled from the synthetic videos."""
+    sampled from the synthetic videos.
+
+    ``augment=True`` adds horizontal flips, multi-scale jitter (resize
+    by a factor in ``scale_range``, then pad/crop back to the fixed
+    HxW — static shapes for XLA), and brightness jitter, matching the
+    levers the closed-loop study needs to train a detector whose
+    deltas exceed noise (VERDICT r2 item 2).
+    """
     images = gt["images"]
     anns_by_img = {}
     for a in gt["annotations"]:
@@ -196,15 +203,46 @@ def training_batches(gt, frames_by_video, rng, batch_size, max_gt=8,
         gt_valid = np.zeros((batch_size, max_gt), bool)
         for b in range(batch_size):
             im = images[rng.randint(len(images))]
-            batch_imgs.append(
-                frames_by_video[im["video_id"]][im["frame_index"]]
-                .astype(np.float32))
+            frame = frames_by_video[im["video_id"]][im["frame_index"]]
+            frame = frame.astype(np.float32)
             anns = anns_by_img.get(im["id"], [])[:max_gt]
+            boxes = np.asarray(
+                [a["bbox"] for a in anns], np.float32).reshape(-1, 4)
+            boxes = np.stack([boxes[:, 0], boxes[:, 1],
+                              boxes[:, 0] + boxes[:, 2],
+                              boxes[:, 1] + boxes[:, 3]],
+                             axis=1) if len(boxes) else boxes
+
+            if augment:
+                if rng.rand() < 0.5:  # horizontal flip
+                    frame = frame[:, ::-1]
+                    if len(boxes):
+                        boxes = np.stack(
+                            [W - boxes[:, 2], boxes[:, 1],
+                             W - boxes[:, 0], boxes[:, 3]], axis=1)
+                s = rng.uniform(*scale_range)  # multi-scale jitter
+                if abs(s - 1.0) > 1e-3:
+                    nh, nw = max(int(H * s), 8), max(int(W * s), 8)
+                    ys = (np.arange(nh) / s).astype(np.int64)
+                    xs = (np.arange(nw) / s).astype(np.int64)
+                    ys = np.clip(ys, 0, H - 1)
+                    xs = np.clip(xs, 0, W - 1)
+                    scaled = frame[ys][:, xs]
+                    canvas = np.zeros((H, W, 3), np.float32)
+                    ch, cw = min(nh, H), min(nw, W)
+                    canvas[:ch, :cw] = scaled[:ch, :cw]
+                    frame = canvas
+                    boxes = boxes * s
+                frame = np.clip(
+                    frame * rng.uniform(0.8, 1.2)
+                    + rng.uniform(-15, 15), 0, 255)  # brightness
+
+            batch_imgs.append(frame)
             for g, a in enumerate(anns):
-                x, y, w, h = a["bbox"]
-                gt_amodal[b, g] = [x, y, x + w, y + h]
-                gt_boxes[b, g] = [max(x, 0), max(y, 0),
-                                  min(x + w, W), min(y + h, H)]
+                x0, y0, x1, y1 = boxes[g]
+                gt_amodal[b, g] = [x0, y0, x1, y1]
+                gt_boxes[b, g] = [max(x0, 0), max(y0, 0),
+                                  min(x1, W), min(y1, H)]
                 gt_classes[b, g] = a["category_id"]
                 gt_valid[b, g] = (gt_boxes[b, g, 2] > gt_boxes[b, g, 0]
                                   and gt_boxes[b, g, 3] > gt_boxes[b, g, 1])

@@ -49,7 +49,11 @@ class FPN(nn.Module):
         ]
         x = outs[-1]
         for j in range(self.num_extra_levels):
-            x = nn.Conv(self.features, (3, 3), strides=2, padding="SAME",
+            # Explicit (1, 1) padding: the torch/detectron2 stride-2
+            # convention (SAME would pad (0, 1) — different sampling
+            # grid, which breaks converted-checkpoint parity).
+            x = nn.Conv(self.features, (3, 3), strides=2,
+                        padding=((1, 1), (1, 1)),
                         dtype=self.dtype, name=f"extra_{j}")(x)
             outs.append(x)
         return outs

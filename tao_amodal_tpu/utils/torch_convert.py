@@ -153,6 +153,145 @@ def convert_adjust_necks(torch_sd, num_levels=3, prefix="neck."):
     return {"params": params, "batch_stats": stats}
 
 
+def _linear(w):
+    """torch Linear [out, in] -> flax Dense kernel [in, out]."""
+    return np.transpose(w, (1, 0))
+
+
+def _linear_on_pooled(w, pool_hw, channels):
+    """Linear over FLATTENED pooled RoI features: torch flattens
+    ``[C, h, w]`` (channel-major), flax flattens ``[h, w, C]`` —
+    permute the input columns before transposing."""
+    out_dim = w.shape[0]
+    w = w.reshape(out_dim, channels, pool_hw, pool_hw)
+    w = np.transpose(w, (0, 2, 3, 1)).reshape(out_dim, -1)
+    return _linear(w)
+
+
+def convert_fpn(torch_sd, num_laterals=3, num_extra=2,
+                prefix="backbone.", first_level=3):
+    """detectron2-style FPN names -> our :class:`..models.fpn.FPN`.
+
+    ``fpn_lateral{l}`` -> ``lateral_{i}``, ``fpn_output{l}`` ->
+    ``post_{i}`` (l counts pyramid levels from ``first_level``),
+    ``top_block.p6/p7`` -> ``extra_{0,1}`` (our extra levels chain
+    WITHOUT the detectron2 LastLevelP6P7 interior ReLU — a documented
+    deviation; converted weights are layout-identical either way).
+    """
+    sd = {k[len(prefix):]: v for k, v in torch_sd.items()
+          if k.startswith(prefix)}
+    params = {}
+    for i in range(num_laterals):
+        lvl = first_level + i
+        params[f"lateral_{i}"] = {
+            "kernel": _conv(sd[f"fpn_lateral{lvl}.weight"]),
+            "bias": sd[f"fpn_lateral{lvl}.bias"]}
+        params[f"post_{i}"] = {
+            "kernel": _conv(sd[f"fpn_output{lvl}.weight"]),
+            "bias": sd[f"fpn_output{lvl}.bias"]}
+    for j in range(num_extra):
+        lvl = first_level + num_laterals + j
+        params[f"extra_{j}"] = {
+            "kernel": _conv(sd[f"top_block.p{lvl}.weight"]),
+            "bias": sd[f"top_block.p{lvl}.bias"]}
+    return {"params": params}
+
+
+def convert_rpn_head(torch_sd, prefix="proposal_generator.rpn_head."):
+    """detectron2 ``rpn_head.{conv,objectness_logits,anchor_deltas}``
+    -> our :class:`..models.rpn.RPNHead` (``tower/obj/delta``)."""
+    sd = {k[len(prefix):]: v for k, v in torch_sd.items()
+          if k.startswith(prefix)}
+    conv_key = "conv.weight" if "conv.weight" in sd \
+        else "conv.conv0.weight"
+    conv_bias = conv_key.replace("weight", "bias")
+    return {"params": {
+        "tower": {"kernel": _conv(sd[conv_key]),
+                  "bias": sd[conv_bias]},
+        "obj": {"kernel": _conv(sd["objectness_logits.weight"]),
+                "bias": sd["objectness_logits.bias"]},
+        "delta": {"kernel": _conv(sd["anchor_deltas.weight"]),
+                  "bias": sd["anchor_deltas.bias"]},
+    }}
+
+
+def convert_box_head(torch_sd, num_classes, pool_hw=7, channels=256,
+                     prefix="roi_heads."):
+    """detectron2 ``box_head.fc{1,2}`` + ``box_predictor.{cls_score,
+    bbox_pred}`` -> our :class:`..models.detector.RoIBoxHead`.
+
+    Background-class convention: detectron2 puts background LAST in
+    ``cls_score``; our head drops index 0 as background — the rows are
+    rolled accordingly.
+    """
+    sd = {k[len(prefix):]: v for k, v in torch_sd.items()
+          if k.startswith(prefix)}
+    cls_w = sd["box_predictor.cls_score.weight"]
+    cls_b = sd["box_predictor.cls_score.bias"]
+    # [fg0..fgC-1, bg] -> [bg, fg0..fgC-1]
+    roll_w = np.concatenate([cls_w[-1:], cls_w[:-1]], axis=0)
+    roll_b = np.concatenate([cls_b[-1:], cls_b[:-1]], axis=0)
+    assert roll_w.shape[0] == num_classes + 1, (
+        roll_w.shape, num_classes)
+    return {"params": {
+        "Dense_0": {
+            "kernel": _linear_on_pooled(sd["box_head.fc1.weight"],
+                                        pool_hw, channels),
+            "bias": sd["box_head.fc1.bias"]},
+        "Dense_1": {"kernel": _linear(sd["box_head.fc2.weight"]),
+                    "bias": sd["box_head.fc2.bias"]},
+        "Dense_2": {"kernel": _linear(roll_w), "bias": roll_b},
+        "Dense_3": {"kernel": _linear(sd["box_predictor.bbox_pred"
+                                         ".weight"]),
+                    "bias": sd["box_predictor.bbox_pred.bias"]},
+    }}
+
+
+def convert_detector_checkpoint(path_or_dict, num_classes,
+                                stage_sizes=(3, 4, 6, 3),
+                                seed_variables=None):
+    """Full GTR-style R50+FPN detector checkpoint -> our
+    :class:`..models.detector.ClipDetector` variables.
+
+    Covers every weight-bearing layer: trunk (torchvision naming under
+    ``backbone.bottom_up.``), FPN laterals/outputs/top-block, RPN
+    head, and the 2-fc box head with the background-row roll and the
+    channel-major->HWC flatten permutation.  With ``seed_variables``
+    (from ``ClipDetector.init``) the converted tree is grafted via
+    ``load_pretrain`` and (variables, report) is returned; otherwise
+    the raw converted tree.
+
+    Reference loading semantics: ``pysot/utils/model_load.py`` /
+    detectron2 ``DetectionCheckpointer`` as used by the GTR inference
+    stack (`/root/reference/README.md:96-127` eval protocol).
+    """
+    sd = load_torch_state_dict(path_or_dict)
+    prefix = "backbone.bottom_up." if any(
+        k.startswith("backbone.bottom_up.") for k in sd) else ""
+    trunk = convert_resnet(sd, stage_sizes=stage_sizes, prefix=prefix)
+    fpn = convert_fpn(sd)
+    rpn = convert_rpn_head(sd)
+    # Infer pooled channels / bin count from the checkpoint itself:
+    # fc1 input = pool^2 * C with C = the FPN feature width.
+    channels = fpn["params"]["lateral_0"]["kernel"].shape[-1]
+    in_dim = sd["roi_heads.box_head.fc1.weight"].shape[1]
+    pool_hw = int(round((in_dim // channels) ** 0.5))
+    head = convert_box_head(sd, num_classes, pool_hw=pool_hw,
+                            channels=channels)
+    converted = {
+        "params": {"backbone": trunk["params"],
+                   "fpn": fpn["params"],
+                   "rpn": rpn["params"],
+                   "box_head": head["params"]},
+        "batch_stats": {"backbone": trunk["batch_stats"]},
+    }
+    if seed_variables is None:
+        return converted
+    from tao_amodal_tpu.utils.checkpoint import load_pretrain
+
+    return load_pretrain(seed_variables, converted)
+
+
 def convert_siamese_checkpoint(path_or_dict, model, seed_variables):
     """Best-effort pysot tracker checkpoint -> SiameseTracker
     variables: backbone + necks grafted onto ``seed_variables``;

@@ -171,3 +171,185 @@ def test_siamese_checkpoint_graft():
     # The grafted model must run.
     out = model.apply(variables, template=z, search=xs, mode="train")
     assert np.all(np.isfinite(np.asarray(out["cls"])))
+
+
+class _TorchFPN(tnn.Module):
+    """detectron2-style FPN naming (fpn_lateral{l}/fpn_output{l}/
+    top_block.p6/p7); extra levels chain WITHOUT the interior ReLU to
+    mirror our FPN (documented deviation in convert_fpn)."""
+
+    def __init__(self, in_channels, features, first_level=3):
+        super().__init__()
+        self.first = first_level
+        for i, c in enumerate(in_channels):
+            setattr(self, f"fpn_lateral{first_level + i}",
+                    tnn.Conv2d(c, features, 1))
+            setattr(self, f"fpn_output{first_level + i}",
+                    tnn.Conv2d(features, features, 3, padding=1))
+        top = tnn.Module()
+        top.p6 = tnn.Conv2d(features, features, 3, stride=2, padding=1)
+        top.p7 = tnn.Conv2d(features, features, 3, stride=2, padding=1)
+        self.top_block = top
+
+    def forward(self, feats):
+        lats = [getattr(self, f"fpn_lateral{self.first + i}")(x)
+                for i, x in enumerate(feats)]
+        for i in range(len(lats) - 2, -1, -1):
+            lats[i] = lats[i] + tnn.functional.interpolate(
+                lats[i + 1], scale_factor=2, mode="nearest")
+        outs = [getattr(self, f"fpn_output{self.first + i}")(x)
+                for i, x in enumerate(lats)]
+        p6 = self.top_block.p6(outs[-1])
+        p7 = self.top_block.p7(p6)
+        return outs + [p6, p7]
+
+
+class _TorchRPNHead(tnn.Module):
+    def __init__(self, features, num_anchors=3):
+        super().__init__()
+        self.conv = tnn.Conv2d(features, features, 3, padding=1)
+        self.objectness_logits = tnn.Conv2d(features, num_anchors, 1)
+        self.anchor_deltas = tnn.Conv2d(features, num_anchors * 4, 1)
+
+    def forward(self, feats):
+        objs, deltas = [], []
+        for x in feats:
+            t = tnn.functional.relu(self.conv(x))
+            objs.append(self.objectness_logits(t))
+            deltas.append(self.anchor_deltas(t))
+        return objs, deltas
+
+
+class _TorchBoxHead(tnn.Module):
+    """roi_heads.box_head + box_predictor naming; background LAST in
+    cls_score (the detectron2 convention convert_box_head rolls)."""
+
+    def __init__(self, in_dim, features, num_classes):
+        super().__init__()
+        box_head = tnn.Module()
+        box_head.fc1 = tnn.Linear(in_dim, features)
+        box_head.fc2 = tnn.Linear(features, features)
+        self.box_head = box_head
+        pred = tnn.Module()
+        pred.cls_score = tnn.Linear(features, num_classes + 1)
+        pred.bbox_pred = tnn.Linear(features, 4)
+        self.box_predictor = pred
+
+    def forward(self, pooled):  # [R, C, 7, 7]
+        x = pooled.flatten(1)
+        x = tnn.functional.relu(self.box_head.fc1(x))
+        x = tnn.functional.relu(self.box_head.fc2(x))
+        return self.box_predictor.cls_score(x), \
+            self.box_predictor.bbox_pred(x)
+
+
+def test_full_detector_checkpoint_conversion():
+    """Every layer of a GTR-style R50+FPN detector state_dict converts
+    with end-to-end activation parity (VERDICT r2 item 10)."""
+    from tao_amodal_tpu.models.detector import ClipDetector, RoIBoxHead
+    from tao_amodal_tpu.models.fpn import FPN
+    from tao_amodal_tpu.models.rpn import RPNHead
+    from tao_amodal_tpu.utils.torch_convert import (
+        convert_box_head,
+        convert_detector_checkpoint,
+        convert_fpn,
+        convert_rpn_head,
+    )
+
+    stage_sizes = (1, 1, 1, 1)
+    feat, ncls, pool = 64, 7, 7
+    torch.manual_seed(0)
+
+    class TorchDetector(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            backbone = tnn.Module()
+            backbone.bottom_up = TorchResNet(stage_sizes)
+            self.backbone = backbone
+            self.fpn = _TorchFPN((512, 1024, 2048), feat)
+            prop = tnn.Module()
+            prop.rpn_head = _TorchRPNHead(feat)
+            self.proposal_generator = prop
+            self.roi_heads = _TorchBoxHead(pool * pool * feat, 128,
+                                           ncls)
+
+    tdet = TorchDetector()
+    with torch.no_grad():
+        for m in tdet.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+    tdet.eval()
+    # detectron2 puts the fpn under backbone.* in checkpoints.
+    sd = {("backbone." + k[len("fpn."):] if k.startswith("fpn.")
+           else k): v for k, v in tdet.state_dict().items()}
+
+    rs = np.random.RandomState(0)
+    x = rs.rand(1, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        tx = torch.from_numpy(x.transpose(0, 3, 1, 2)).float()
+        c2, c3, c4 = tdet.backbone.bottom_up(tx)
+        t_pyr = tdet.fpn([c2, c3, c4])
+        t_objs, t_deltas = tdet.proposal_generator.rpn_head(t_pyr)
+        pooled_t = torch.from_numpy(
+            rs.rand(5, feat, pool, pool).astype(np.float32))
+        t_cls, t_box = tdet.roi_heads(pooled_t)
+
+    sd = {k: v.numpy() for k, v in sd.items()}
+    from tao_amodal_tpu.utils.torch_convert import convert_resnet
+
+    trunk_v = convert_resnet(sd, stage_sizes,
+                             prefix="backbone.bottom_up.")
+    fpn_v = convert_fpn(sd)
+    rpn_v = convert_rpn_head(sd)
+    head_v = convert_box_head(sd, ncls, pool_hw=pool, channels=feat)
+
+    # Flax forward chain with the converted weights.
+    from tao_amodal_tpu.models.backbones import ResNet
+
+    j_trunk = ResNet(stage_sizes=stage_sizes, out_stages=(2, 3, 4))
+    j_feats = j_trunk.apply(trunk_v, jnp.asarray(x), train=False)
+    for tt, jj in zip((c2, c3, c4), j_feats):
+        np.testing.assert_allclose(
+            np.asarray(jj), tt.numpy().transpose(0, 2, 3, 1),
+            atol=2e-4)
+
+    j_fpn = FPN(features=feat, num_extra_levels=2)
+    j_pyr = j_fpn.apply({"params": fpn_v["params"]}, j_feats)
+    for i, (tt, jj) in enumerate(zip(t_pyr, j_pyr)):
+        np.testing.assert_allclose(
+            np.asarray(jj), tt.numpy().transpose(0, 2, 3, 1),
+            atol=2e-3, err_msg=f"fpn level {i}")
+
+    j_rpn = RPNHead(num_anchors=3, features=feat)
+    j_objs, j_deltas = j_rpn.apply({"params": rpn_v["params"]}, j_pyr)
+    for i, (tt, jj) in enumerate(zip(t_objs, j_objs)):
+        np.testing.assert_allclose(
+            np.asarray(jj), tt.numpy().transpose(0, 2, 3, 1),
+            atol=2e-3, err_msg=f"rpn obj level {i}")
+    for i, (tt, jj) in enumerate(zip(t_deltas, j_deltas)):
+        np.testing.assert_allclose(
+            np.asarray(jj), tt.numpy().transpose(0, 2, 3, 1),
+            atol=2e-3, err_msg=f"rpn delta level {i}")
+
+    j_head = RoIBoxHead(ncls, features=128)
+    pooled_j = pooled_t.numpy().transpose(0, 2, 3, 1)
+    logits, boxd, _ = j_head.apply({"params": head_v["params"]},
+                                   jnp.asarray(pooled_j))
+    # Background-roll contract: our index 0 == torch's last column.
+    t_cls_np = t_cls.numpy()
+    want = np.concatenate([t_cls_np[:, -1:], t_cls_np[:, :-1]], axis=1)
+    np.testing.assert_allclose(np.asarray(logits), want, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(boxd), t_box.numpy(),
+                               atol=2e-4)
+
+    # Graft covers EVERY leaf of the full ClipDetector variables.
+    det = ClipDetector(num_classes=ncls, backbone_stages=stage_sizes,
+                       features=feat, num_dets=8, num_proposals=16)
+    seed_vars = det.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 64, 64, 3)))
+    converted = convert_detector_checkpoint(sd, ncls,
+                                            stage_sizes=stage_sizes)
+    n_seed = len(jax.tree_util.tree_leaves(seed_vars))
+    n_conv = len(jax.tree_util.tree_leaves(converted))
+    assert n_seed == n_conv, (n_seed, n_conv)

@@ -35,7 +35,9 @@ logger = logging.getLogger("accuracy_study")
 
 
 def train(pipeline, gt, frames_by_video, steps, batch_size, seed=0,
-          lr=1e-3):
+          lr=1e-3, augment=True, snapshot_steps=(), max_gt=8):
+    """Train; returns ``{step: variables}`` snapshots (always includes
+    the final step)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -61,18 +63,27 @@ def train(pipeline, gt, frames_by_video, steps, batch_size, seed=0,
     rng = np.random.RandomState(seed)
     from tao_amodal_tpu.data.synth_video import training_batches
 
+    snapshots = {}
     t0 = time.time()
+    logger.info("training: %d steps, batch %d (first step compiles"
+                " the full fwd+bwd graph — minutes on a remote chip)",
+                steps, batch_size)
     for i, batch in enumerate(training_batches(
-            gt, frames_by_video, rng, batch_size, steps=steps)):
+            gt, frames_by_video, rng, batch_size, steps=steps,
+            augment=augment, max_gt=max_gt)):
         variables, opt_state, loss, metrics = step(
             variables, opt_state,
             {k: jnp.asarray(v) for k, v in batch.items()},
             jax.random.PRNGKey(i))
-        if i % 25 == 0 or i == steps - 1:
+        if i % 100 == 0 or i == steps - 1:
             m = {k: round(float(v), 3) for k, v in metrics.items()}
             logger.info("step %d loss=%.3f %s (%.1fs)", i,
                         float(loss), m, time.time() - t0)
-    return variables
+        if (i + 1) in snapshot_steps:
+            snapshots[i + 1] = jax.tree_util.tree_map(
+                np.asarray, variables)
+    snapshots[steps] = jax.tree_util.tree_map(np.asarray, variables)
+    return snapshots
 
 
 def infer(pipeline, variables, gt, frames_by_video, input_size,
@@ -134,9 +145,23 @@ def main(argv=None):
     p.add_argument("--videos_train", type=int, default=10)
     p.add_argument("--videos_val", type=int, default=8)
     p.add_argument("--frames", type=int, default=32)
+    p.add_argument("--tracks", type=int, default=6,
+                   help="objects per video; crowded scenes make the "
+                        "proposal-budget lever measurable")
     p.add_argument("--train_steps", type=int, default=500)
+    p.add_argument("--checkpoints", default="",
+                   help="comma list of intermediate snapshot steps; "
+                        "each config evaluates at EVERY checkpoint so "
+                        "deltas must hold a consistent sign across "
+                        "them (VERDICT r2 item 2)")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--resolutions", default="512,448,384")
+    p.add_argument("--num_proposals_list", default="64",
+                   help="comma list; first is the base config — extra "
+                        "entries measure the proposal-budget lever "
+                        "(flagship question: 128 -> 96)")
+    p.add_argument("--assignments", default="gated_auction",
+                   help="comma list of SORT association algorithms")
     p.add_argument("--score_threshold", type=float, default=0.3)
     p.add_argument("--resume_ckpt", default=None,
                    help="skip training; load variables from this "
@@ -146,6 +171,12 @@ def main(argv=None):
                         "axon TPU tunnel serves one process at a time)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    # SIGUSR1 -> thread stacks on stderr (safe liveness probe for the
+    # long TPU run; without this the default action kills the run).
+    import faulthandler
+    import signal
+
+    faulthandler.register(signal.SIGUSR1)
 
     import jax
     import jax.numpy as jnp
@@ -163,55 +194,89 @@ def main(argv=None):
     from tao_amodal_tpu.utils.checkpoint import save_pytree
 
     os.makedirs(args.workdir, exist_ok=True)
-    arch = dict(num_classes=3, num_dets=32, num_proposals=64,
+    proposals_list = [int(x) for x in
+                      args.num_proposals_list.split(",")]
+    assignments = args.assignments.split(",")
+    arch = dict(num_classes=3, num_dets=32,
                 backbone_stages=(1, 1, 1, 1), dtype=dtype)
 
     gt_train, frames_train = make_synth_videos(
         seed=0, num_videos=args.videos_train,
-        frames_per_video=args.frames, hw=args.hw)
+        frames_per_video=args.frames, hw=args.hw,
+        tracks_per_video=args.tracks)
     gt_val, frames_val = make_synth_videos(
         seed=1000, num_videos=args.videos_val,
-        frames_per_video=args.frames, hw=args.hw)
+        frames_per_video=args.frames, hw=args.hw,
+        tracks_per_video=args.tracks)
     gt_path = os.path.join(args.workdir, "gt_val.json")
     with open(gt_path, "w") as f:
         json.dump(gt_val, f)
 
-    pipeline = AmodalPipeline.create(**arch)
+    snapshot_steps = [int(s) for s in args.checkpoints.split(",")
+                      if s.strip()]
+    pipeline = AmodalPipeline.create(
+        num_proposals=proposals_list[0], **arch)
     if args.resume_ckpt:
         from tao_amodal_tpu.utils.checkpoint import load_pytree
 
-        variables = load_pytree(args.resume_ckpt)
+        snapshots = {0: load_pytree(args.resume_ckpt)}
         logger.info("loaded variables from %s", args.resume_ckpt)
     else:
-        variables = train(pipeline, gt_train, frames_train,
-                          args.train_steps, args.batch)
-        save_pytree(os.path.join(args.workdir, "ckpt.npz"), variables)
+        snapshots = train(pipeline, gt_train, frames_train,
+                          args.train_steps, args.batch,
+                          snapshot_steps=snapshot_steps,
+                          max_gt=max(args.tracks, 8))
+        for step, variables in snapshots.items():
+            save_pytree(os.path.join(args.workdir,
+                                     f"ckpt_{step}.npz"), variables)
+
+    resolutions = [int(r) for r in args.resolutions.split(",")]
+    base_res, base_p, base_a = (resolutions[0], proposals_list[0],
+                                assignments[0])
+    # (tag, res, exact_topk, num_proposals, assignment)
+    configs = [(f"res{r}", r, False, base_p, base_a)
+               for r in resolutions]
+    configs.append((f"res{base_res}_exact", base_res, True, base_p,
+                    base_a))
+    configs += [(f"res{base_res}_p{p}", base_res, False, p, base_a)
+                for p in proposals_list[1:]]
+    configs += [(f"res{base_res}_{a}", base_res, False, base_p, a)
+                for a in assignments[1:]]
+
+    from tao_amodal_tpu.evaluation.detection_eval import (
+        AmodalDetectionEvaluator,
+    )
 
     results = {}
-    resolutions = [int(r) for r in args.resolutions.split(",")]
-    configs = [(r, False) for r in resolutions]
-    configs.append((resolutions[0], True))  # exact top-k at base res
-
-    for res, exact in configs:
-        pipe = AmodalPipeline.create(exact_topk=exact, **arch)
-        t0 = time.time()
-        records = infer(pipe, variables, gt_val, frames_val, res,
-                        score_threshold=args.score_threshold)
-        infer_s = time.time() - t0
-        pred_path = os.path.join(args.workdir,
-                                 f"preds_{res}_{exact}.json")
-        with open(pred_path, "w") as f:
-            json.dump(records, f)
-        ev = TrackMapEvaluator(gt_path, pred_path)
-        ev.run()
-        key = f"res{res}_{'exact' if exact else 'approx'}_topk"
-        results[key] = {
-            "track_ap": round(100 * float(ev.results["AP"]), 3),
-            "track_ap50": round(100 * float(ev.results["AP50"]), 3),
-            "num_predictions": len(records),
-            "infer_seconds": round(infer_s, 1),
-        }
-        logger.info("%s: %s", key, results[key])
+    for ckpt_step, variables in sorted(snapshots.items()):
+        for tag, res, exact, num_p, assign in configs:
+            pipe = AmodalPipeline.create(
+                exact_topk=exact, num_proposals=num_p,
+                sort_assignment=assign, **arch)
+            t0 = time.time()
+            records = infer(pipe, variables, gt_val, frames_val, res,
+                            score_threshold=args.score_threshold)
+            infer_s = time.time() - t0
+            pred_path = os.path.join(
+                args.workdir, f"preds_{ckpt_step}_{tag}.json")
+            with open(pred_path, "w") as f:
+                json.dump(records, f)
+            ev = TrackMapEvaluator(gt_path, pred_path)
+            ev.run()
+            det = AmodalDetectionEvaluator(gt_path, pred_path, "bbox")
+            det.run()
+            key = f"ckpt{ckpt_step}_{tag}"
+            results[key] = {
+                "track_ap": round(100 * float(ev.results["AP"]), 3),
+                "track_ap50": round(
+                    100 * float(ev.results["AP50"]), 3),
+                "det_ap": round(100 * float(det.results["AP"]), 3),
+                "det_ap50": round(
+                    100 * float(det.results["AP50"]), 3),
+                "num_predictions": len(records),
+                "infer_seconds": round(infer_s, 1),
+            }
+            logger.info("%s: %s", key, results[key])
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
