@@ -84,3 +84,19 @@ def test_vot_restart_protocol(tiny_dataset, tmp_path):
     lines = path.read_text().strip().splitlines()
     assert lines[0] == "1.0000"            # init marker
     assert any(ln == "2.0000" for ln in lines)  # failure marker
+
+
+def test_evaluate_vot_full_protocol(tiny_dataset, tmp_path):
+    """run_vot_protocol -> evaluate_vot: fragment EAO + radar plot
+    from written trajectories (the reference eval.py VOT surface)."""
+    from tao_amodal_tpu.cli.sot_cli import evaluate_vot
+
+    seq = tiny_dataset["seq0"]
+    tracker = TeleportTracker(seq.gt_boxes, miss_frames={3})
+    rd = str(tmp_path / "vot")
+    run_vot_protocol(tracker, tiny_dataset, rd, "fake", burnin=0,
+                     skip_after_failure=2)
+    result = evaluate_vot(tiny_dataset, rd, ["fake"], plots=True)
+    assert "fake" in result and "all" in result["fake"]
+    assert 0.0 <= result["fake"]["all"] <= 1.0
+    assert os.path.exists(os.path.join(rd, "eao.png"))
