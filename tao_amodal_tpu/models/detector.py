@@ -99,6 +99,19 @@ class ClipDetector(nn.Module):
         feats = self.backbone(images, train=train)
         return self.fpn(feats)
 
+    def pool_rois(self, frame_pyramid, rois):
+        """Inference-exact multilevel RoI pooling: P3-P6 with the
+        canonical 224^2 roi at P4.  The train loss MUST use this same
+        method — pooling train features at a different canonical level
+        hands the box head a coarser feature distribution than
+        inference does (a silent accuracy killer; found via the
+        closed-loop study, VERDICT r2 item 2)."""
+        return multilevel_roi_align(
+            frame_pyramid[:4], rois, out_size=7, canonical_level=1,
+            strides=self.strides[:4],
+            method=("prroi_packed_pallas" if self.pallas_pooling
+                    else "prroi_packed"))
+
     def _frame_detect(self, pyramid, image_hw):
         """Single-frame path (pyramid: list of [H,W,C] per level)."""
         objs, deltas = self.rpn([f[None] for f in pyramid])
@@ -115,11 +128,7 @@ class ClipDetector(nn.Module):
             exact_topk=self.exact_topk)
 
         # Pool over P3-P6 (canonical 224^2 roi -> P4 = index 1).
-        pooled = multilevel_roi_align(
-            pyramid[:4], props, out_size=7, canonical_level=1,
-            strides=self.strides[:4],
-            method=("prroi_packed_pallas" if self.pallas_pooling
-                    else "prroi_packed"))
+        pooled = self.pool_rois(pyramid, props)
         logits, box_deltas, feats = self.box_head(pooled)
         probs = jax.nn.softmax(logits, axis=-1)[:, 1:]  # drop background
         boxes = decode_deltas(props, box_deltas)

@@ -110,8 +110,6 @@ def detector_train_loss(detector, expander, variables, batch, rng):
     # [4G, 4] proposal set; labels by IoU >= 0.5, column 0 =
     # background).  The expander trains on the box head's fc features
     # — the exact tensor inference hands it as ``roi_features``.
-    from tao_amodal_tpu.ops.roi import multilevel_roi_align
-
     H_img, W_img = images.shape[1], images.shape[2]
     keys = jax.random.split(rng, B)
 
@@ -145,9 +143,9 @@ def detector_train_loss(detector, expander, variables, batch, rng):
         pos = best_iou >= 0.5
         labels = jnp.where(pos, gt_cls[best_gt], 0)  # 0 = background
 
-        pooled = multilevel_roi_align(
-            [lvl[i] for lvl in pyramid], props, out_size=7,
-            strides=detector.strides[:len(pyramid)])
+        # Inference-exact pooling (same levels + canonical level as
+        # ClipDetector._frame_detect) — see ClipDetector.pool_rois.
+        pooled = detector.pool_rois([lvl[i] for lvl in pyramid], props)
         logits, bdeltas, feats = detector.apply(
             variables["detector"], pooled,
             method=lambda m, x: m.box_head(x))

@@ -63,6 +63,12 @@ def train(pipeline, gt, frames_by_video, steps, batch_size, seed=0,
     rng = np.random.RandomState(seed)
     from tao_amodal_tpu.data.synth_video import training_batches
 
+    # Normalize to the serving contract (preprocess_clip's imagenet
+    # mean/std): raw 0-255 input through the frozen-BN trunk is badly
+    # conditioned, and train MUST match what `infer` feeds.
+    mean = jnp.asarray([123.675, 116.28, 103.53])
+    std = jnp.asarray([58.395, 57.12, 57.375])
+
     snapshots = {}
     t0 = time.time()
     logger.info("training: %d steps, batch %d (first step compiles"
@@ -71,10 +77,10 @@ def train(pipeline, gt, frames_by_video, steps, batch_size, seed=0,
     for i, batch in enumerate(training_batches(
             gt, frames_by_video, rng, batch_size, steps=steps,
             augment=augment, max_gt=max_gt)):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        batch["images"] = (batch["images"] - mean) / std
         variables, opt_state, loss, metrics = step(
-            variables, opt_state,
-            {k: jnp.asarray(v) for k, v in batch.items()},
-            jax.random.PRNGKey(i))
+            variables, opt_state, batch, jax.random.PRNGKey(i))
         if i % 100 == 0 or i == steps - 1:
             m = {k: round(float(v), 3) for k, v in metrics.items()}
             logger.info("step %d loss=%.3f %s (%.1fs)", i,
@@ -122,8 +128,7 @@ def infer(pipeline, variables, gt, frames_by_video, input_size,
             chunk = images[start:start + T]
             pad = T - len(chunk)
             raw = arr[[im["frame_index"] for im in chunk]]
-            clip, _ = preprocess_clip(raw, out_size=S, mean=(0, 0, 0),
-                                      std=(1, 1, 1))
+            clip, _ = preprocess_clip(raw, out_size=S)
             if pad:
                 clip = jnp.concatenate(
                     [clip, jnp.zeros((pad, S, S, 3), clip.dtype)])
