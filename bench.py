@@ -26,6 +26,9 @@ def main():
 
     p = argparse.ArgumentParser()
     p.add_argument("--clip_len", type=int, default=16)
+    p.add_argument("--num_proposals", type=int, default=128,
+                   help="RoI budget per frame (accuracy impact "
+                        "quantified in experiments/accuracy_study.json)")
     geo = p.add_mutually_exclusive_group()
     geo.add_argument("--square", action="store_true",
                      help="square 512x512 source/processing geometry "
@@ -68,7 +71,8 @@ def main():
         SRC_H, SRC_W, OUT = 480, 640, (384, 512)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     pipeline = AmodalPipeline.create(
-        num_classes=80, num_dets=64, num_proposals=128,
+        num_classes=80, num_dets=64,
+        num_proposals=args.num_proposals,
         backbone_stages=(3, 4, 6, 3), dtype=dtype,
         pallas_pooling=False, stem="s2d_pre")
 

@@ -21,9 +21,15 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+import os
+
 INNER = 16
 T = 16
 DT = jnp.bfloat16
+# Processing geometry (BD_H x BD_W device tensor; default square 512).
+BD_H = int(os.environ.get("BD_H", "512"))
+BD_W = int(os.environ.get("BD_W", "512"))
+NUM_PROPS = int(os.environ.get("BD_PROPS", "128"))
 
 
 def timed_once(fn, *args):
@@ -74,11 +80,12 @@ def main():
         select_proposals,
     )
 
-    # Pyramid shapes for 512^2, P3-P7.
-    sizes = [64, 32, 16, 8, 4]
+    # Pyramid shapes for BD_H x BD_W, P3-P7.
     strides = [8, 16, 32, 64, 128]
     scales = [32, 64, 128, 256, 512]
-    pyramid = [jnp.asarray(rs.rand(T, s, s, 256), DT) for s in sizes]
+    sizes = [(-(-BD_H // s), -(-BD_W // s)) for s in strides]
+    pyramid = [jnp.asarray(rs.rand(T, h, w, 256), DT)
+               for h, w in sizes]
 
     rpn = RPNHead(num_anchors=3, features=256, dtype=DT)
     rpn_vars = rpn.init(jax.random.PRNGKey(0),
@@ -89,15 +96,15 @@ def main():
     print(f"RPN tower (5 levels)       : {t*1e3:7.3f} ms/clip")
 
     objs, deltas = rpn.apply(rpn_vars, pyramid)
-    anchors = [level_anchors(s, s, st, [sc], (0.5, 1.0, 2.0),
+    anchors = [level_anchors(h, w, st, [sc], (0.5, 1.0, 2.0),
                              dtype=jnp.float32)
-               for s, st, sc in zip(sizes, strides, scales)]
+               for (h, w), st, sc in zip(sizes, strides, scales)]
 
     def props_of(o0):
         def per_frame(args):
             o, ds = args
-            return select_proposals(o, ds, anchors, (512, 512),
-                                    post_nms_topk=128)
+            return select_proposals(o, ds, anchors, (BD_H, BD_W),
+                                    post_nms_topk=NUM_PROPS)
         return jax.vmap(per_frame)((
             [o0] + [o for o in objs[1:]], [d for d in deltas]))
 
@@ -107,7 +114,7 @@ def main():
 
     from tao_amodal_tpu.ops.roi import multilevel_roi_align
 
-    props = jnp.asarray(rs.rand(T, 128, 4) * 400, jnp.float32)
+    props = jnp.asarray(rs.rand(T, NUM_PROPS, 4) * 400, jnp.float32)
     props = props.at[..., 2:].set(props[..., :2] + 30 +
                                   props[..., 2:] * 0.2)
 
@@ -120,23 +127,23 @@ def main():
             [p for p in pyramid[:4]], p0)
 
     t = chain(pool_fn, props)
-    print(f"RoI pooling (4 lvls x 128) : {t*1e3:7.3f} ms/clip")
+    print(f"RoI pooling ({NUM_PROPS} rois)     : {t*1e3:7.3f} ms/clip")
 
     from tao_amodal_tpu.models.detector import RoIBoxHead
 
     head = RoIBoxHead(80, dtype=DT)
-    pooled = jnp.asarray(rs.rand(T, 128, 7, 7, 256), DT)
+    pooled = jnp.asarray(rs.rand(T, NUM_PROPS, 7, 7, 256), DT)
     hv = head.init(jax.random.PRNGKey(1), pooled[0])
     t = chain(lambda p0: jax.vmap(
         lambda pp: head.apply(hv, pp))(p0), pooled)
-    print(f"box head (2fc, 128 rois)   : {t*1e3:7.3f} ms/clip")
+    print(f"box head ({NUM_PROPS} rois)        : {t*1e3:7.3f} ms/clip")
 
     from tao_amodal_tpu.ops.nms import class_aware_nms
 
-    boxes = jnp.asarray(rs.rand(T, 128, 4) * 500, jnp.float32)
+    boxes = jnp.asarray(rs.rand(T, NUM_PROPS, 4) * 500, jnp.float32)
     boxes = boxes.at[..., 2:].set(boxes[..., :2] + 20)
-    scores = jnp.asarray(rs.rand(T, 128), jnp.float32)
-    classes = jnp.asarray(rs.randint(0, 80, (T, 128)), jnp.int32)
+    scores = jnp.asarray(rs.rand(T, NUM_PROPS), jnp.float32)
+    classes = jnp.asarray(rs.randint(0, 80, (T, NUM_PROPS)), jnp.int32)
 
     def nms_fn(b0):
         return jax.vmap(lambda b, s, c: class_aware_nms(
@@ -151,11 +158,11 @@ def main():
     feats = jnp.asarray(rs.rand(T, 64, 1024), DT)
     dboxes = jnp.asarray(rs.rand(T, 64, 4) * 500, jnp.float32)
     ev = exp.init(jax.random.PRNGKey(2), feats[0], dboxes[0],
-                  image_hw=(512, 512))
+                  image_hw=(BD_H, BD_W))
 
     def exp_fn(f0):
         return jax.vmap(lambda f, b: exp.apply(
-            ev, f, b, image_hw=(512, 512)))(f0, dboxes)
+            ev, f, b, image_hw=(BD_H, BD_W)))(f0, dboxes)
 
     t = chain(exp_fn, feats)
     print(f"amodal expander            : {t*1e3:7.3f} ms/clip")

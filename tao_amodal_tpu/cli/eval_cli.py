@@ -130,6 +130,16 @@ def evaluate_tracking(annotation, results_path, logger,
 
 def main(argv=None):
     args = default_arg_parser().parse_args(argv)
+    if args.device_eval:
+        # The device evaluators compile one XLA program per bucket
+        # shape; the persistent cache makes repeated CLI runs (and the
+        # CLI parity tests) skip every warm compile.
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/jax_eval_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.3)
     annotation = args.annotation
     if annotation is None:
         raise SystemExit("--annotation is required (no cluster default "

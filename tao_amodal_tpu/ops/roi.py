@@ -212,10 +212,15 @@ def multilevel_roi_align(pyramid, rois, canonical_level=2,
             col_w = max(col_w, fw)
             cur_y += fh + gap
         C = pyramid[0].shape[-1]
-        # Round the canvas width up to the sublane tile (16 covers both
-        # bf16 and f32): keeps every reshape/transpose in the Pallas
-        # kernel layout-legal, and XLA tiles the einsums cleanly too.
-        W_canvas = -(-(col_x + col_w) // 16) * 16
+        # Pallas kernel: round the canvas width up to the sublane tile
+        # (16 covers both bf16 and f32) so every reshape/transpose in
+        # the kernel is layout-legal.  The XLA einsum path needs no
+        # such rounding — padding it would just add zero columns to the
+        # first contraction's K axis (~12% wasted FLOPs at the 4:3
+        # geometry's 98-wide canvas).
+        W_canvas = col_x + col_w
+        if method == "prroi_packed_pallas":
+            W_canvas = -(-W_canvas // 16) * 16
         packed = jnp.zeros((H, W_canvas, C), pyramid[0].dtype)
         for f, (oy, ox) in zip(pyramid, offs):
             packed = jax.lax.dynamic_update_slice(

@@ -56,7 +56,8 @@ def test_eval_cli_device_path_matches_host(tmp_path):
              "--track_result", str(pred_path),
              "--output_log", str(log_path),
              "--annotation", str(gt_path)] + extra,
-            capture_output=True, text=True, cwd=str(REPO), timeout=600)
+            capture_output=True, text=True, cwd=str(REPO),
+            timeout=1800)
         assert proc.returncode == 0, proc.stderr
         logs[mode] = log_path.read_text()
 
