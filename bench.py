@@ -26,9 +26,10 @@ def main():
 
     p = argparse.ArgumentParser()
     p.add_argument("--clip_len", type=int, default=16)
-    p.add_argument("--num_proposals", type=int, default=128,
+    p.add_argument("--num_proposals", type=int, default=96,
                    help="RoI budget per frame (accuracy impact "
-                        "quantified in experiments/accuracy_study.json)")
+                        "quantified in experiments/accuracy_study.json: "
+                        "no det-AP penalty vs 128 at 3 checkpoints)")
     geo = p.add_mutually_exclusive_group()
     geo.add_argument("--square", action="store_true",
                      help="square 512x512 source/processing geometry "

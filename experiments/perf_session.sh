@@ -9,10 +9,10 @@ run() {
   timeout 2400 "$@" 2>&1 | grep -v -i warning >> $LOG
   echo >> $LOG
 }
+run python bench.py --num_proposals 128
 run python bench.py
-run python bench.py --num_proposals 96
-run python bench.py --num_proposals 96 --clip_len 12
-run python bench.py --num_proposals 96 --clip_len 20
+run python bench.py --clip_len 12
+run python bench.py --clip_len 20
 run env BD_H=384 BD_W=512 python experiments/head_breakdown.py
 run env BD_H=384 BD_W=512 BD_PROPS=96 python experiments/head_breakdown.py
 run env BD_SRC_H=480 BD_SRC_W=640 BD_H=384 BD_W=512 python experiments/pipeline_breakdown.py

@@ -62,7 +62,13 @@ class ClipDetector(nn.Module):
     num_classes: int = 80
     features: int = 256
     num_dets: int = 64
-    num_proposals: int = 128
+    # RoI budget: 96 (was 128).  The resolved closed-loop study
+    # (experiments/accuracy_study.json, 3 checkpoints, det AP50 ~77)
+    # shows NO detection-AP penalty down to 64 proposals at ~10-object
+    # scene density — and the head path (pool + box head) scales
+    # linearly with this budget.  Re-measure before raising scene
+    # density far beyond that (LVIS-vocabulary crowded scenes).
+    num_proposals: int = 96
     anchor_scales: Sequence[float] = (32, 64, 128, 256, 512)
     anchor_ratios: Sequence[float] = (0.5, 1.0, 2.0)
     # RetinaNet-style P3-P7 pyramid: the stride-4 P2 level costs ~2x

@@ -43,7 +43,7 @@ class AmodalPipeline(NamedTuple):
 
     @staticmethod
     def create(num_classes=80, num_dets=64, dtype=jnp.float32,
-               backbone_stages=(3, 4, 6, 3), num_proposals=128,
+               backbone_stages=(3, 4, 6, 3), num_proposals=96,
                pallas_pooling=False, int8_backbone=False,
                stem="classic", exact_topk=False,
                sort_max_age=5, sort_min_hits=1,
