@@ -26,6 +26,10 @@ def main():
 
     p = argparse.ArgumentParser()
     p.add_argument("--clip_len", type=int, default=16)
+    p.add_argument("--assignment", default="gated_auction",
+                   choices=["gated_auction", "greedy", "auction"],
+                   help="SORT association algorithm (accuracy-"
+                        "equivalent per the study; latency differs)")
     p.add_argument("--num_proposals", type=int, default=96,
                    help="RoI budget per frame (accuracy impact "
                         "quantified in experiments/accuracy_study.json: "
@@ -75,7 +79,8 @@ def main():
         num_classes=80, num_dets=64,
         num_proposals=args.num_proposals,
         backbone_stages=(3, 4, 6, 3), dtype=dtype,
-        pallas_pooling=False, stem="s2d_pre")
+        pallas_pooling=False, stem="s2d_pre",
+        sort_assignment=args.assignment)
 
     rng = jax.random.PRNGKey(0)
     # Several distinct RAW uint8 clips, cycled, so no caching shortcut
