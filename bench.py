@@ -91,8 +91,7 @@ def main():
                                      use_pallas=on_tpu)
     variables = pipeline.init(rng, init_in)
 
-    @jax.jit
-    def run(frames):
+    def run_one(frames):
         clip, _ = pipeline.preprocess(frames, out_size=OUT,
                                       use_pallas=on_tpu)
         out = pipeline(variables, clip.astype(dtype))
@@ -110,10 +109,34 @@ def main():
                 + out["valid"].sum().astype(jnp.float32)
                 + out["classes"].sum().astype(jnp.float32))
 
-    # Compile + warm up (forced by host fetch).
-    float(run(clips[0]))
-
     iters = 12
+
+    # The iteration loop lives IN-GRAPH (lax.fori_loop): each step
+    # picks the next of the 3 resident clips, XORs in a bit derived
+    # from the previous checksum (a true data dependence — no DCE, no
+    # replay cache, no cross-iteration overlap), and accumulates the
+    # checksum.  This measures CHIP throughput; dispatch-chained
+    # separate programs additionally pay ~0.6 ms/program of remote
+    # tunnel dispatch overhead that a locally-attached deployment
+    # does not (both numbers logged in BENCH_NOTES.md).
+    @jax.jit
+    def run_block(stacked):  # [3, T, H, W, 3] uint8
+        def body(i, carry):
+            acc, bit = carry
+            frames = jax.lax.dynamic_index_in_dim(
+                stacked, i % 3, axis=0, keepdims=False)
+            s = run_one(frames ^ bit)
+            acc = acc + s
+            bit = (s.astype(jnp.int32) & 1).astype(jnp.uint8)
+            return acc, bit
+        acc, _ = jax.lax.fori_loop(
+            0, iters, body, (jnp.zeros((), jnp.float32),
+                             jnp.zeros((), jnp.uint8)))
+        return acc
+
+    stacked = jnp.stack(clips)
+    # Compile + warm up (forced by host fetch).
+    float(run_block(stacked))
 
     @jax.jit
     def tiny(x):
@@ -125,11 +148,8 @@ def main():
         return time.perf_counter() - start
 
     def timed_block():
-        acc = jnp.zeros((), jnp.float32)
         start = time.perf_counter()
-        for i in range(iters):
-            acc = acc + run(clips[i % 3])
-        float(acc)  # single sync point
+        float(run_block(stacked))  # single sync point
         return time.perf_counter() - start
 
     float(tiny(jnp.zeros((), jnp.float32)))  # compile

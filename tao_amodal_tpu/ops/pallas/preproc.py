@@ -148,7 +148,8 @@ def space_to_depth(x, block=4):
     return x.reshape(*lead, h // b, w // b, c * b * b)
 
 
-def preprocess_frames_xla_s2d(frames, wy, wx, mean, std, block=4):
+def preprocess_frames_xla_s2d(frames, wy, wx, mean, std, block=4,
+                              compute_dtype=jnp.float32):
     """Fused resize + normalize + s2d fold as TWO MATMULS.
 
     TPU-first trick: the space-to-depth fold rides the resize for
@@ -166,16 +167,23 @@ def preprocess_frames_xla_s2d(frames, wy, wx, mean, std, block=4):
     T, H, W, C = frames.shape
     b = block
     s_h, s_w = wy.shape[0] // b, wx.shape[0] // b
-    wy_b = wy.reshape(s_h, b, H)
-    wx_b = wx.reshape(s_w, b, W)
-    f = frames.astype(jnp.float32)
-    tmp = jnp.einsum("ybh,thwc->tybwc", wy_b, f)
-    out = jnp.einsum("xaw,tybwc->tyxcba", wx_b, tmp)
+    dt = compute_dtype
+    wy_b = wy.reshape(s_h, b, H).astype(dt)
+    wx_b = wx.reshape(s_w, b, W).astype(dt)
+    # compute_dtype=bfloat16 (the bf16-trunk serving path): uint8
+    # pixels are exact in bf16 (integers <= 256), the resize weights
+    # round to ~3 decimal digits, and the matmuls accumulate in f32 on
+    # the MXU — halves every intermediate's HBM traffic vs f32.
+    f = frames.astype(dt)
+    tmp = jnp.einsum("ybh,thwc->tybwc", wy_b, f,
+                     preferred_element_type=jnp.float32).astype(dt)
+    out = jnp.einsum("xaw,tybwc->tyxcba", wx_b, tmp,
+                     preferred_element_type=jnp.float32)
     out = out.reshape(T, s_h, s_w, C * b * b)
     # Per-channel mean/std repeated over the (by, bx) sub-channels.
     mean_b = jnp.repeat(jnp.asarray(mean, jnp.float32), b * b)
     std_b = jnp.repeat(jnp.asarray(std, jnp.float32), b * b)
-    return (out - mean_b) / std_b
+    return ((out - mean_b) / std_b).astype(dt)
 
 
 def preprocess_clip(frames, out_size=512,
@@ -203,7 +211,8 @@ def preprocess_clip(frames, out_size=512,
 
 def preprocess_clip_s2d(frames, out_size=512,
                         mean=(123.675, 116.28, 103.53),
-                        std=(58.395, 57.12, 57.375), use_pallas=None):
+                        std=(58.395, 57.12, 57.375), use_pallas=None,
+                        compute_dtype=jnp.float32):
     """uint8 clip -> normalized, letterboxed, space-to-depth stem
     tensor ``[T, S/4, S/4, 48]`` in the canonical (c, by, bx) channel
     order (what ``ResNet(stem='s2d_pre')`` consumes).
@@ -219,4 +228,5 @@ def preprocess_clip_s2d(frames, out_size=512,
     wy, wx, scale = make_letterbox_weights((H, W), out_size)
     mean = jnp.asarray(mean, jnp.float32)
     std = jnp.asarray(std, jnp.float32)
-    return preprocess_frames_xla_s2d(frames, wy, wx, mean, std), scale
+    return preprocess_frames_xla_s2d(
+        frames, wy, wx, mean, std, compute_dtype=compute_dtype), scale

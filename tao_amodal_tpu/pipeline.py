@@ -72,8 +72,12 @@ class AmodalPipeline(NamedTuple):
         )
 
         if self.detector.stem == "s2d_pre":
+            # Preproc computes in the trunk dtype: bf16 on the serving
+            # path halves the resize intermediates' HBM traffic (uint8
+            # pixels are exact in bf16; weights round at ~1e-3).
             return preprocess_clip_s2d(frames, out_size=out_size,
-                                       use_pallas=use_pallas)
+                                       use_pallas=use_pallas,
+                                       compute_dtype=self.detector.dtype)
         return preprocess_clip(frames, out_size=out_size,
                                use_pallas=use_pallas)
 
