@@ -30,6 +30,8 @@ def main():
                    choices=["gated_auction", "greedy", "auction"],
                    help="SORT association algorithm (accuracy-"
                         "equivalent per the study; latency differs)")
+    p.add_argument("--pre_nms_topk", type=int, default=150,
+                   help="per-level pre-NMS candidate budget")
     p.add_argument("--num_proposals", type=int, default=96,
                    help="RoI budget per frame (accuracy impact "
                         "quantified in experiments/accuracy_study.json: "
@@ -80,7 +82,8 @@ def main():
         num_proposals=args.num_proposals,
         backbone_stages=(3, 4, 6, 3), dtype=dtype,
         pallas_pooling=False, stem="s2d_pre",
-        sort_assignment=args.assignment)
+        sort_assignment=args.assignment,
+        pre_nms_topk=args.pre_nms_topk)
 
     rng = jax.random.PRNGKey(0)
     # Several distinct RAW uint8 clips, cycled, so no caching shortcut

@@ -69,6 +69,9 @@ class ClipDetector(nn.Module):
     # linearly with this budget.  Re-measure before raising scene
     # density far beyond that (LVIS-vocabulary crowded scenes).
     num_proposals: int = 96
+    # Per-level pre-NMS candidate budget (select_proposals): the
+    # proposal NMS cost grows with (levels * pre_nms_topk)^2.
+    pre_nms_topk: int = 150
     anchor_scales: Sequence[float] = (32, 64, 128, 256, 512)
     anchor_ratios: Sequence[float] = (0.5, 1.0, 2.0)
     # RetinaNet-style P3-P7 pyramid: the stride-4 P2 level costs ~2x
@@ -130,6 +133,7 @@ class ClipDetector(nn.Module):
         ]
         props, prop_scores = select_proposals(
             objs, deltas, anchors, image_hw,
+            pre_nms_topk=self.pre_nms_topk,
             post_nms_topk=self.num_proposals,
             exact_topk=self.exact_topk)
 

@@ -47,7 +47,7 @@ class AmodalPipeline(NamedTuple):
                pallas_pooling=False, int8_backbone=False,
                stem="classic", exact_topk=False,
                sort_max_age=5, sort_min_hits=1,
-               sort_assignment="gated_auction"):
+               sort_assignment="gated_auction", pre_nms_topk=150):
         return AmodalPipeline(
             detector=ClipDetector(num_classes=num_classes,
                                   num_dets=num_dets, dtype=dtype,
@@ -55,7 +55,8 @@ class AmodalPipeline(NamedTuple):
                                   backbone_stages=backbone_stages,
                                   pallas_pooling=pallas_pooling,
                                   int8_backbone=int8_backbone,
-                                  stem=stem, exact_topk=exact_topk),
+                                  stem=stem, exact_topk=exact_topk,
+                                  pre_nms_topk=pre_nms_topk),
             expander=AmodalExpander(dtype=dtype),
             sort_max_age=sort_max_age,
             sort_min_hits=sort_min_hits,
@@ -120,8 +121,11 @@ class AmodalPipeline(NamedTuple):
                                    assignment=self.sort_assignment)
             return state, (out["det_track_id"], out["det_report"])
 
+        # unroll: the association chain is inherently sequential, but
+        # unrolling lets XLA fuse the small per-frame ops across
+        # iterations instead of paying loop plumbing per frame.
         sort_state, (track_ids, reported) = jax.lax.scan(
-            assoc, sort_state, (amodal, det_valid))
+            assoc, sort_state, (amodal, det_valid), unroll=8)
         return {
             "boxes": amodal,                  # [T, D, 4] xyxy amodal
             "visible_boxes": det["boxes"],    # [T, D, 4]

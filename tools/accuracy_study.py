@@ -167,6 +167,9 @@ def main(argv=None):
                         "(flagship question: 128 -> 96)")
     p.add_argument("--assignments", default="gated_auction",
                    help="comma list of SORT association algorithms")
+    p.add_argument("--pre_nms_list", default="150",
+                   help="comma list of per-level pre-NMS budgets; "
+                        "first is the base config")
     p.add_argument("--score_threshold", type=float, default=0.3)
     p.add_argument("--resume_ckpt", default=None,
                    help="skip training; load variables from this "
@@ -236,17 +239,24 @@ def main(argv=None):
                                      f"ckpt_{step}.npz"), variables)
 
     resolutions = [int(r) for r in args.resolutions.split(",")]
-    base_res, base_p, base_a = (resolutions[0], proposals_list[0],
-                                assignments[0])
-    # (tag, res, exact_topk, num_proposals, assignment)
-    configs = [(f"res{r}", r, False, base_p, base_a)
+    pre_nms_list = [int(x) for x in args.pre_nms_list.split(",")]
+    base_res, base_p, base_a, base_k = (
+        resolutions[0], proposals_list[0], assignments[0],
+        pre_nms_list[0])
+    # (tag, res, exact_topk, num_proposals, assignment, pre_nms)
+    configs = [(f"res{r}", r, False, base_p, base_a, base_k)
                for r in resolutions]
     configs.append((f"res{base_res}_exact", base_res, True, base_p,
-                    base_a))
-    configs += [(f"res{base_res}_p{p}", base_res, False, p, base_a)
+                    base_a, base_k))
+    configs += [(f"res{base_res}_p{p}", base_res, False, p, base_a,
+                 base_k)
                 for p in proposals_list[1:]]
-    configs += [(f"res{base_res}_{a}", base_res, False, base_p, a)
+    configs += [(f"res{base_res}_{a}", base_res, False, base_p, a,
+                 base_k)
                 for a in assignments[1:]]
+    configs += [(f"res{base_res}_prenms{k}", base_res, False, base_p,
+                 base_a, k)
+                for k in pre_nms_list[1:]]
 
     from tao_amodal_tpu.evaluation.detection_eval import (
         AmodalDetectionEvaluator,
@@ -254,10 +264,10 @@ def main(argv=None):
 
     results = {}
     for ckpt_step, variables in sorted(snapshots.items()):
-        for tag, res, exact, num_p, assign in configs:
+        for tag, res, exact, num_p, assign, pre_k in configs:
             pipe = AmodalPipeline.create(
                 exact_topk=exact, num_proposals=num_p,
-                sort_assignment=assign, **arch)
+                sort_assignment=assign, pre_nms_topk=pre_k, **arch)
             t0 = time.time()
             records = infer(pipe, variables, gt_val, frames_val, res,
                             score_threshold=args.score_threshold)
