@@ -26,11 +26,11 @@ def main():
 
     p = argparse.ArgumentParser()
     p.add_argument("--clip_len", type=int, default=16)
-    p.add_argument("--assignment", default="gated_auction",
+    p.add_argument("--assignment", default="greedy",
                    choices=["gated_auction", "greedy", "auction"],
                    help="SORT association algorithm (accuracy-"
                         "equivalent per the study; latency differs)")
-    p.add_argument("--pre_nms_topk", type=int, default=150,
+    p.add_argument("--pre_nms_topk", type=int, default=100,
                    help="per-level pre-NMS candidate budget")
     p.add_argument("--num_proposals", type=int, default=96,
                    help="RoI budget per frame (accuracy impact "

@@ -71,7 +71,10 @@ class ClipDetector(nn.Module):
     num_proposals: int = 96
     # Per-level pre-NMS candidate budget (select_proposals): the
     # proposal NMS cost grows with (levels * pre_nms_topk)^2.
-    pre_nms_topk: int = 150
+    # 100 (was 150): det-AP deltas vs 150 flip sign across the
+    # resolved study's 3 checkpoints (+0.26/-0.03/-0.32 — noise), same
+    # acceptance standard as the 96-proposal budget.
+    pre_nms_topk: int = 100
     anchor_scales: Sequence[float] = (32, 64, 128, 256, 512)
     anchor_ratios: Sequence[float] = (0.5, 1.0, 2.0)
     # RetinaNet-style P3-P7 pyramid: the stride-4 P2 level costs ~2x

@@ -36,10 +36,13 @@ class AmodalPipeline(NamedTuple):
     # experiments/accuracy_study.json).
     sort_max_age: int = 5
     sort_min_hits: int = 1
-    # Association algorithm: 'gated_auction' (Hungarian-optimal within
-    # the IoU gate, 32x faster than the full price war) or 'greedy'
-    # (score-ordered greedy matching).
-    sort_assignment: str = "gated_auction"
+    # Association algorithm: 'greedy' (parallel mutual-best rounds —
+    # flagship default: +1.8% end-to-end throughput, Track-AP
+    # equivalent to the auction across the resolved study's 3
+    # checkpoints) or 'gated_auction' (Hungarian-optimal within the
+    # IoU gate — the reference's optimal-assignment semantics, 32x
+    # faster than the full price war).
+    sort_assignment: str = "greedy"
 
     @staticmethod
     def create(num_classes=80, num_dets=64, dtype=jnp.float32,
@@ -47,7 +50,7 @@ class AmodalPipeline(NamedTuple):
                pallas_pooling=False, int8_backbone=False,
                stem="classic", exact_topk=False,
                sort_max_age=5, sort_min_hits=1,
-               sort_assignment="gated_auction", pre_nms_topk=150):
+               sort_assignment="greedy", pre_nms_topk=100):
         return AmodalPipeline(
             detector=ClipDetector(num_classes=num_classes,
                                   num_dets=num_dets, dtype=dtype,
@@ -111,10 +114,10 @@ class AmodalPipeline(NamedTuple):
 
         def assoc(state, frame):
             boxes, valid = frame
-            # gated auction: same Hungarian-optimal result for every
-            # within-gate match, but contested losers retire at the
-            # IoU gate instead of price-warring to -1e-3 (32x faster
-            # association; see BENCH_NOTES + trackers/sort.py).
+            # Default 'greedy': parallel mutual-best rounds,
+            # Track-AP-equivalent to the Hungarian-parity
+            # 'gated_auction' on the resolved closed-loop study (see
+            # BENCH_NOTES + trackers/sort.py).
             state, out = sort_step(state, boxes, valid,
                                    max_age=self.sort_max_age,
                                    min_hits=self.sort_min_hits,
