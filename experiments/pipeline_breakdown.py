@@ -92,7 +92,9 @@ def chain_uint8(fn, x):
 def main():
     print("devices:", jax.devices())
     pipeline = AmodalPipeline.create(
-        num_classes=80, num_dets=64, num_proposals=128,
+        num_classes=80, num_dets=64,
+        num_proposals=int(os.environ.get("BD_PROPOSALS", "96")),
+        pre_nms_topk=int(os.environ.get("BD_TOPK", "100")),
         backbone_stages=(3, 4, 6, 3), dtype=DT, stem="s2d_pre")
     det = pipeline.detector
 
@@ -100,7 +102,7 @@ def main():
     frames = jnp.asarray(rs.randint(0, 255, (T, SRC_H, SRC_W, 3), np.uint8))
     clip, _ = pipeline.preprocess(frames, out_size=(H, W))
     clip = clip.astype(DT)
-    variables = pipeline.init(jax.random.PRNGKey(0), clip)
+    variables = jax.jit(pipeline.init)(jax.random.PRNGKey(0), clip)
     det_vars = variables["detector"]
 
     t = chain_uint8(lambda fr: pipeline.preprocess(fr, out_size=(H, W))[0],
