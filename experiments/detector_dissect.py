@@ -28,15 +28,19 @@ from tao_amodal_tpu.ops.nms import class_aware_nms
 from tao_amodal_tpu.ops.roi import multilevel_roi_align
 from tao_amodal_tpu.models.detector import RoIBoxHead
 
-INNER = 16
+import os
+
+INNER = int(os.environ.get("BD_INNER", "16"))
 T = 16
 DT = jnp.bfloat16
 STRIDES = (8, 16, 32, 64, 128)
 SCALES = (32, 64, 128, 256, 512)
 RATIOS = (0.5, 1.0, 2.0)
-NUM_PROPS = 128
+NUM_PROPS = int(os.environ.get("BD_PROPS", "128"))
 NUM_DETS = 64
-HW = (512, 512)
+# Device-tensor geometry (the 4:3 production shape is 384x512).
+HW = (int(os.environ.get("BD_H", "512")), int(os.environ.get("BD_W", "512")))
+PRE_NMS_TOPK = int(os.environ.get("BD_TOPK", "150"))
 
 
 def timed_once(fn, *args):
@@ -80,8 +84,8 @@ def chain(fn, x):
 def main():
     print("devices:", jax.devices())
     rs = np.random.RandomState(0)
-    sizes = [64, 32, 16, 8, 4]
-    pyramid = [jnp.asarray(rs.rand(T, s, s, 256), DT) for s in sizes]
+    sizes = [(-(-HW[0] // st), -(-HW[1] // st)) for st in STRIDES]
+    pyramid = [jnp.asarray(rs.rand(T, h, w, 256), DT) for h, w in sizes]
 
     from tao_amodal_tpu.models.rpn import RPNHead
 
@@ -90,8 +94,8 @@ def main():
     head = RoIBoxHead(80, dtype=DT)
     hv = head.init(jax.random.PRNGKey(1),
                    jnp.zeros((NUM_PROPS, 7, 7, 256), DT))
-    anchors = [level_anchors(s, s, st, [sc], RATIOS, dtype=jnp.float32)
-               for s, st, sc in zip(sizes, STRIDES, SCALES)]
+    anchors = [level_anchors(h, w, st, [sc], RATIOS, dtype=jnp.float32)
+               for (h, w), st, sc in zip(sizes, STRIDES, SCALES)]
 
     def upto(stage):
         def fn(p0):
@@ -103,6 +107,7 @@ def main():
             def frame_props(args):
                 o, d = args
                 return select_proposals(o, d, anchors, HW,
+                                        pre_nms_topk=PRE_NMS_TOPK,
                                         post_nms_topk=NUM_PROPS)
 
             props, pscores = jax.vmap(frame_props)((

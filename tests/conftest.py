@@ -30,3 +30,41 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 assert jax.device_count() >= 8, jax.devices()
+
+# ---------------------------------------------------------------------
+# Test tiering (VERDICT r3 item 4): `pytest -m fast` = every
+# reference-oracle parity test + kernel test, cold-cache green in
+# <5 min on one core; `-m slow` = the compile-heavy pipeline / tracker
+# / training / device / e2e tests.  Everything not listed below is
+# marked fast.
+import pytest  # noqa: E402
+
+SLOW_MODULES = {
+    "test_batched_pipeline",   # full AmodalPipeline compiles
+    "test_deep_trackers",      # deep-feature online trackers
+    "test_device_eval",        # device evaluators (big programs)
+    "test_device_tolerance",
+    "test_discriminative",     # online GN-CG/GD-L2 tracker loops
+    "test_hp_search",          # vmapped HP grid over a tracker
+    "test_models",             # full flax model forwards
+    "test_parallel",           # 8-device mesh + 2-process smoke
+    "test_paste_n_occlude",
+    "test_pipeline_e2e",       # train->infer->eval closed loop
+    "test_preproc",            # pallas preproc kernels (interpret)
+    "test_resnet_blocks",      # pallas resnet kernels (interpret)
+    "test_roi",                # prroi fwd+bwd oracle compiles
+    "test_run_video",
+    "test_siammask",
+    "test_sot_harness",        # tracker-on-sequence harnesses
+    "test_sot_train",
+    "test_torch_convert",      # full detector conversion parity
+    "test_trackers",           # siamrpn/longterm per-frame programs
+    "test_training",           # detector/siamese train steps
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        mark = "slow" if mod in SLOW_MODULES else "fast"
+        item.add_marker(getattr(pytest.mark, mark))

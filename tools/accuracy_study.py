@@ -171,6 +171,16 @@ def main(argv=None):
                    help="comma list of per-level pre-NMS budgets; "
                         "first is the base config")
     p.add_argument("--score_threshold", type=float, default=0.3)
+    p.add_argument("--skip_exact", action="store_true",
+                   help="omit the exact-top-k config (resolved in the "
+                        "round-3 study; saves one inference per ckpt)")
+    p.add_argument("--val_groups", type=int, default=1,
+                   help="additionally evaluate Track-AP on N disjoint "
+                        "video subsets of the val set, recording the "
+                        "per-group spread — the empirical noise scale "
+                        "that decides whether a delta is real "
+                        "(VERDICT r3 item 2: resolve track-AP50 to "
+                        "+-1)")
     p.add_argument("--resume_ckpt", default=None,
                    help="skip training; load variables from this "
                         "save_pytree .npz (e.g. <workdir>/ckpt.npz)")
@@ -246,8 +256,9 @@ def main(argv=None):
     # (tag, res, exact_topk, num_proposals, assignment, pre_nms)
     configs = [(f"res{r}", r, False, base_p, base_a, base_k)
                for r in resolutions]
-    configs.append((f"res{base_res}_exact", base_res, True, base_p,
-                    base_a, base_k))
+    if not args.skip_exact:
+        configs.append((f"res{base_res}_exact", base_res, True, base_p,
+                        base_a, base_k))
     configs += [(f"res{base_res}_p{p}", base_res, False, p, base_a,
                  base_k)
                 for p in proposals_list[1:]]
@@ -261,6 +272,31 @@ def main(argv=None):
     from tao_amodal_tpu.evaluation.detection_eval import (
         AmodalDetectionEvaluator,
     )
+
+    # Disjoint val-video groups: per-group Track-AP spread = the
+    # empirical noise scale for judging config deltas.
+    val_vids = sorted({im["video_id"] for im in gt_val["images"]})
+    groups, group_paths = [], []
+    if args.val_groups > 1:
+        per = max(1, len(val_vids) // args.val_groups)
+        groups = [set(val_vids[i * per:(i + 1) * per])
+                  for i in range(args.val_groups)]
+        for gi, vids in enumerate(groups):
+            sub = {
+                "videos": [v for v in gt_val["videos"]
+                           if v["id"] in vids],
+                "images": [im for im in gt_val["images"]
+                           if im["video_id"] in vids],
+                "annotations": [a for a in gt_val["annotations"]
+                                if a["video_id"] in vids],
+                "tracks": [t for t in gt_val["tracks"]
+                           if t["video_id"] in vids],
+                "categories": gt_val["categories"],
+            }
+            path = os.path.join(args.workdir, f"gt_val_g{gi}.json")
+            with open(path, "w") as f:
+                json.dump(sub, f)
+            group_paths.append(path)
 
     results = {}
     for ckpt_step, variables in sorted(snapshots.items()):
@@ -291,7 +327,25 @@ def main(argv=None):
                 "num_predictions": len(records),
                 "infer_seconds": round(infer_s, 1),
             }
+            if groups:
+                g_ap50 = []
+                for gi, vids in enumerate(groups):
+                    sub_rec = [r for r in records
+                               if r["video_id"] in vids]
+                    sp = os.path.join(
+                        args.workdir,
+                        f"preds_{ckpt_step}_{tag}_g{gi}.json")
+                    with open(sp, "w") as f:
+                        json.dump(sub_rec, f)
+                    gev = TrackMapEvaluator(group_paths[gi], sp)
+                    gev.run()
+                    g_ap50.append(
+                        round(100 * float(gev.results["AP50"]), 3))
+                results[key]["track_ap50_groups"] = g_ap50
             logger.info("%s: %s", key, results[key])
+            # Incremental write: a crash partway keeps the data.
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=2)
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
