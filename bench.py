@@ -42,6 +42,11 @@ def main():
                    help="RoI budget per frame (accuracy impact "
                         "quantified in experiments/accuracy_study.json: "
                         "no det-AP penalty vs 128 at 3 checkpoints)")
+    p.add_argument("--pooling", default="auto",
+                   choices=["auto", "packed", "fused"],
+                   help="RoI pooling impl: XLA two-einsum ('packed') "
+                        "or the fused Pallas kernel ('fused'); 'auto' "
+                        "= fused on TPU")
     geo = p.add_mutually_exclusive_group()
     geo.add_argument("--square", action="store_true",
                      help="square 512x512 source/processing geometry "
@@ -90,7 +95,8 @@ def main():
         backbone_stages=(3, 4, 6, 3), dtype=dtype,
         pallas_pooling=False, stem="s2d_pre",
         sort_assignment=args.assignment,
-        pre_nms_topk=args.pre_nms_topk)
+        pre_nms_topk=args.pre_nms_topk,
+        pooling=args.pooling)
 
     rng = jax.random.PRNGKey(0)
     # Several distinct RAW uint8 clips, cycled, so no caching shortcut

@@ -39,7 +39,13 @@ C = 256
 R = 96
 OUT = 7
 INNER = int(os.environ.get("INNER", "64"))
+# Comma-list of variants to run (default: all).
+ONLY = set(filter(None, os.environ.get("ONLY", "").split(",")))
 DT = jnp.bfloat16
+
+
+def want(tag):
+    return not ONLY or tag in ONLY
 
 
 def _hat_antideriv(u):
@@ -107,6 +113,32 @@ def _v2_kernel(rois_ref, feat_ref, out_ref):
             wy, m1, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)    # [R, OUT, C]
         out_ref[:, :, x, :] = (
+            o * inv_area[:, None, None]).astype(out_ref.dtype)
+
+
+# ---------------------------------------------------------------- V5:
+# h-major flat canvas [H, W*C] (the NATURAL packed-canvas layout -> no
+# XLA transpose feeding the kernel); stage 1 = per-y-bin flat matmul
+# [R, H] @ [H, W*C]; stage 2 = batched dot_general contracting W.
+def _v5_kernel(rois_ref, feat_ref, out_ref, *, wpad):
+    # feat_ref: [H, wpad*C]
+    rois = rois_ref[:]
+    x0, y0 = rois[:, 0], rois[:, 1]
+    bw = jnp.maximum((rois[:, 2] - x0) / OUT, 1e-8)
+    bh = jnp.maximum((rois[:, 3] - y0) / OUT, 1e-8)
+    wx = _axis_weights_2d(x0, bw, wpad)            # [R, OUT, wpad] f32
+    wy = _axis_weights_2d(y0, bh, H)               # [R, OUT, H]
+    inv_area = 1.0 / (bw * bh)
+
+    feat = feat_ref[:]                             # [H, wpad*C]
+    for y in range(OUT):
+        m1 = jnp.dot(wy[:, y, :].astype(DT), feat,
+                     preferred_element_type=jnp.float32)   # [R, wpad*C]
+        m1 = m1.reshape(R, wpad, C)
+        o = jax.lax.dot_general(
+            wx, m1, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)    # [R, OUT(x), C]
+        out_ref[:, y, :, :] = (
             o * inv_area[:, None, None]).astype(out_ref.dtype)
 
 
@@ -286,13 +318,16 @@ def main():
             return acc
         return timed(run, feat, rois)
 
-    t = chain(lambda f, r: prroi_pool(f, r, OUT, 1.0), canvas)
-    print(f"XLA two-einsum        : {t*1e3:7.3f} ms/clip")
+    if want("xla"):
+        t = chain(lambda f, r: prroi_pool(f, r, OUT, 1.0), canvas)
+        print(f"XLA two-einsum        : {t*1e3:7.3f} ms/clip")
 
     # V1: w-major flat canvas [WPAD, H*C]
     wmaj = canvas_p.transpose(0, 2, 1, 3).reshape(T, WPAD, H * C)
     v1 = make_call(_v1_kernel, (WPAD, H * C))
     try:
+        if not want("v1"):
+            raise RuntimeError("skipped")
         out = jax.vmap(v1)(rois, wmaj)
         err = np.abs(np.asarray(out, np.float32) - ref).max()
         t = chain(lambda f, r: v1(r, f), wmaj)
@@ -305,6 +340,8 @@ def main():
     wmaj3 = canvas_p.transpose(0, 2, 1, 3)
     v2 = make_call(_v2_kernel, (WPAD, H, C))
     try:
+        if not want("v2"):
+            raise RuntimeError("skipped")
         out = jax.vmap(v2)(rois, wmaj3)
         err = np.abs(np.asarray(out, np.float32) - ref).max()
         t = chain(lambda f, r: v2(r, f), wmaj3)
@@ -313,8 +350,56 @@ def main():
     except Exception as e:
         print("V2 FAILED:", type(e).__name__, str(e)[:300])
 
+    # V1t: V1 with the canvas transpose INSIDE the timed graph — the
+    # honest integration cost when the pipeline's canvas is h-major.
+    try:
+        if not want("v1t"):
+            raise RuntimeError("skipped")
+        def v1t(f, r):
+            wm = f.transpose(1, 0, 2)
+            wm = jnp.pad(wm, ((0, WPAD - W), (0, 0), (0, 0)))
+            return v1(r, wm.reshape(WPAD, H * C))
+
+        out = jax.vmap(v1t)(canvas, rois)
+        err = np.abs(np.asarray(out, np.float32) - ref).max()
+        t = chain(v1t, canvas)
+        print(f"V1 + in-graph transp  : {t*1e3:7.3f} ms/clip"
+              f"  (max err {err:.2e})")
+    except Exception as e:
+        print("V1t FAILED:", type(e).__name__, str(e)[:300])
+
+    # V5: natural h-major flat canvas (no transpose), y-first.
+    hflat = canvas_p.reshape(T, H, WPAD * C)
+    v5 = make_call(functools.partial(_v5_kernel, wpad=WPAD),
+                   (H, WPAD * C))
+    try:
+        if not want("v5"):
+            raise RuntimeError("skipped")
+        out = jax.vmap(v5)(rois, hflat)
+        err = np.abs(np.asarray(out, np.float32) - ref).max()
+        t = chain(lambda f, r: v5(r, f), hflat)
+        print(f"V5 hmaj flat+batch-dg : {t*1e3:7.3f} ms/clip"
+              f"  (max err {err:.2e})")
+    except Exception as e:
+        print("V5 FAILED:", type(e).__name__, str(e)[:300])
+
+    # V5n: same but on the UNPADDED 98-wide canvas (is the 16-multiple
+    # rounding needed at all when the flat view is [H, W*C]?).
+    hflat_n = canvas.reshape(T, H, W * C)
+    v5n = make_call(functools.partial(_v5_kernel, wpad=W), (H, W * C))
+    try:
+        if not want("v5n"):
+            raise RuntimeError("skipped")
+        out = jax.vmap(v5n)(rois, hflat_n)
+        err = np.abs(np.asarray(out, np.float32) - ref).max()
+        t = chain(lambda f, r: v5n(r, f), hflat_n)
+        print(f"V5n hmaj unpadded     : {t*1e3:7.3f} ms/clip"
+              f"  (max err {err:.2e})")
+    except Exception as e:
+        print("V5n FAILED:", type(e).__name__, str(e)[:300])
+
     # V4: block-diag grouped stage 2, several group sizes
-    for G in (8, 16, 32):
+    for G in ((8, 16, 32) if want("v4") else ()):
         v4_raw = pl.pallas_call(
             functools.partial(_v4_kernel, group=G),
             out_shape=jax.ShapeDtypeStruct((OUT, R * OUT, C), DT),
@@ -340,6 +425,8 @@ def main():
     hmaj = canvas_p.reshape(T, H, WPAD * C)
     v3 = make_call(functools.partial(_v3_kernel), (H, WPAD * C))
     try:
+        if not want("v3"):
+            raise RuntimeError("skipped")
         jax.block_until_ready(jax.vmap(v3)(rois, hmaj))
         t = chain(lambda f, r: v3(r, f), hmaj)
         print(f"V3 stage1-only (flat) : {t*1e3:7.3f} ms/clip"

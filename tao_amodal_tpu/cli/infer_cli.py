@@ -106,8 +106,10 @@ def main(argv=None):
             pad = T - len(chunk)
             raw = load_clip(chunk, args.images_dir,
                             (video["height"], video["width"]))
-            clip, _ = preprocess_clip(
-                raw, out_size=S, mean=(0, 0, 0), std=(1, 1, 1))
+            # Serving contract: imagenet mean/std (preprocess_clip
+            # defaults) — identical to the training normalization
+            # (the round-3 closed-loop fix; VERDICT r2 item 2).
+            clip, _ = preprocess_clip(raw, out_size=S)
             if pad:
                 clip = jnp.concatenate(
                     [clip, jnp.zeros((pad, S, S, 3))])

@@ -82,9 +82,17 @@ class ClipDetector(nn.Module):
     # 128^2 map) for marginal small-object gain at this workload.
     strides: Sequence[int] = (8, 16, 32, 64, 128)
     backbone_stages: Sequence[int] = (3, 4, 6, 3)  # ResNet-50
-    # Pallas RoI pooling (forward-only fused kernel). Measured SLOWER
-    # than the packed XLA einsum in the full graph (BENCH_NOTES.md
-    # round-2: 5.2 vs 1.4 ms/clip) — kept as an opt-in capability.
+    # RoI pooling implementation over the packed multilevel canvas:
+    #   'packed' — XLA two-einsum form (autodiff path; CPU default),
+    #   'fused'  — round-4 Pallas kernel, both contractions in VMEM
+    #              (0.72 vs 0.85 ms/clip incl. the canvas transpose,
+    #              experiments/prroi_pallas_v2.py), exact XLA gradients
+    #              via custom_vjp,
+    #   'auto'   — 'fused' on TPU, 'packed' elsewhere.
+    pooling: str = "auto"
+    # Round-2 per-roi-block Pallas kernel. Measured SLOWER than the
+    # packed XLA einsum in the full graph (BENCH_NOTES.md round-2:
+    # 5.2 vs 1.4 ms/clip) — kept as an opt-in capability.
     pallas_pooling: bool = False
     # int8 post-training-quantized trunk (inference only).
     int8_backbone: bool = False
@@ -118,11 +126,19 @@ class ClipDetector(nn.Module):
         hands the box head a coarser feature distribution than
         inference does (a silent accuracy killer; found via the
         closed-loop study, VERDICT r2 item 2)."""
+        if self.pallas_pooling:
+            method = "prroi_packed_pallas"
+        else:
+            pooling = self.pooling
+            if pooling == "auto":
+                pooling = ("fused" if any(d.platform == "tpu"
+                                          for d in jax.devices())
+                           else "packed")
+            method = {"packed": "prroi_packed",
+                      "fused": "prroi_packed_fused"}[pooling]
         return multilevel_roi_align(
             frame_pyramid[:4], rois, out_size=7, canonical_level=1,
-            strides=self.strides[:4],
-            method=("prroi_packed_pallas" if self.pallas_pooling
-                    else "prroi_packed"))
+            strides=self.strides[:4], method=method)
 
     def _frame_detect(self, pyramid, image_hw):
         """Single-frame path (pyramid: list of [H,W,C] per level)."""

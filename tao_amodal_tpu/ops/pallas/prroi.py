@@ -177,6 +177,132 @@ def prroi_packed_pallas(features, rois, out_size=7, block_r=8,
     )(rois.astype(jnp.float32), features)
 
 
+def _fused_kernel(rois_ref, feat_ref, out_ref, *, out_size, n_long,
+                  n_short, wmaj):
+    """Whole-R fused PrRoI against a flat canvas (round-4 kernel).
+
+    The round-2 ``_packed_kernel``'s second stage pays per-roi
+    transposes; this formulation keeps BOTH stages as MXU-friendly
+    contractions — stage 1 is a per-bin flat matmul
+    ``[R, n_long] @ [n_long, n_short*C]``, stage 2 a single batched
+    ``dot_general`` over the roi axis — and the whole roi set is one
+    block (no grid), so the intermediate never leaves VMEM.  Measured
+    0.590 ms/clip vs the XLA two-einsum's 0.847 at the production 4:3
+    shape (experiments/prroi_pallas_v2.py).
+
+    feat_ref: ``[n_long, n_short*C]`` — the canvas flattened with the
+    LONG spatial axis leading (w-major when the canvas is wide).
+    out_ref: ``[R, out, out, C]`` (y, x) bin order.
+    """
+    rois = rois_ref[:]
+    x0, y0 = rois[:, 0], rois[:, 1]
+    bw = jnp.maximum((rois[:, 2] - x0) / out_size, 1e-8)
+    bh = jnp.maximum((rois[:, 3] - y0) / out_size, 1e-8)
+
+    bins = jax.lax.broadcasted_iota(
+        jnp.int32, (out_size, 1), 0).astype(jnp.float32)
+
+    def axis_weights(lo0, step, n):
+        idx = jax.lax.broadcasted_iota(
+            jnp.int32, (1, n), 1).astype(jnp.float32)
+        lo = lo0[:, None, None] + bins[None] * step[:, None, None]
+        hi = lo + step[:, None, None]
+        return (_hat_antideriv(hi - idx[None])
+                - _hat_antideriv(lo - idx[None]))   # [R, out, n]
+
+    if wmaj:
+        w_long = axis_weights(x0, bw, n_long)       # x rides stage 1
+        w_short = axis_weights(y0, bh, n_short)
+    else:
+        w_long = axis_weights(y0, bh, n_long)       # y rides stage 1
+        w_short = axis_weights(x0, bw, n_short)
+    inv_area = 1.0 / (bw * bh)
+
+    feat = feat_ref[:]
+    R = rois.shape[0]
+    C = feat.shape[1] // n_short
+    for b in range(out_size):
+        m1 = jnp.dot(w_long[:, b, :].astype(feat.dtype), feat,
+                     preferred_element_type=jnp.float32)
+        m1 = m1.reshape(R, n_short, C)
+        o = jax.lax.dot_general(
+            w_short, m1, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)     # [R, out, C]
+        o = o * inv_area[:, None, None]
+        if wmaj:
+            out_ref[:, :, b, :] = o.astype(out_ref.dtype)
+        else:
+            out_ref[:, b, :, :] = o.astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("out_size", "wmaj", "interpret"))
+def prroi_packed_fused(features, rois, out_size=7, wmaj=True,
+                       interpret=False):
+    """Fused PrRoI forward over a packed canvas (forward only; use
+    :func:`prroi_packed_autodiff` on training paths).
+
+    Args:
+      features: ``[H, W, C]`` canvas (h-major, the natural packed
+        layout); ``wmaj=True`` transposes to w-major in XLA (the
+        transpose fuses with the canvas construction).
+      rois: ``[R, 4]`` xyxy in canvas coordinates.
+
+    Returns ``[R, out, out, C]`` in the feature dtype.
+    """
+    H, W, C = features.shape
+    R = rois.shape[0]
+    if wmaj:
+        n_long, n_short = -(-W // 16) * 16, H
+        flat = jnp.pad(features.transpose(1, 0, 2),
+                       ((0, n_long - W), (0, 0), (0, 0)))
+        flat = flat.reshape(n_long, H * C)
+    else:
+        n_long, n_short = H, -(-W // 16) * 16
+        flat = jnp.pad(features, ((0, 0), (0, n_short - W), (0, 0)))
+        flat = flat.reshape(H, n_short * C)
+    return pl.pallas_call(
+        partial(_fused_kernel, out_size=out_size, n_long=n_long,
+                n_short=n_short, wmaj=wmaj),
+        out_shape=jax.ShapeDtypeStruct((R, out_size, out_size, C),
+                                       features.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(rois.astype(jnp.float32), flat)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def prroi_packed_autodiff(features, rois, out_size=7):
+    """Pallas-forward PrRoI with exact XLA-einsum gradients.
+
+    The training path differentiates through the separable-matmul
+    formulation (:func:`tao_amodal_tpu.ops.roi.prroi_pool` — the true
+    analytic derivative in both features and roi coordinates, the
+    semantics the reference CUDA kernel hand-codes in
+    ``PrRoIPoolingCoorBackward``); the forward runs the fused kernel.
+    """
+    return prroi_packed_fused(features, rois, out_size=out_size)
+
+
+def _prroi_autodiff_fwd(features, rois, out_size):
+    return (prroi_packed_fused(features, rois, out_size=out_size),
+            (features, rois))
+
+
+def _prroi_autodiff_bwd(out_size, res, g):
+    from tao_amodal_tpu.ops.roi import prroi_pool
+
+    features, rois = res
+    _, vjp = jax.vjp(
+        lambda f, r: prroi_pool(f, r, out_size, 1.0).astype(g.dtype),
+        features, rois)
+    return vjp(g)
+
+
+prroi_packed_autodiff.defvjp(_prroi_autodiff_fwd, _prroi_autodiff_bwd)
+
+
 @partial(jax.jit, static_argnames=("out_size", "block_r", "interpret"))
 def prroi_pool_pallas(features, rois, out_size=7, spatial_scale=1.0,
                       block_r=8, interpret=False):

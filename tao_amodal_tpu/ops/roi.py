@@ -192,7 +192,8 @@ def multilevel_roi_align(pyramid, rois, canonical_level=2,
                        + jnp.log2(jnp.sqrt(areas) / canonical_size + 1e-8))
     target = jnp.clip(target, 0, len(pyramid) - 1).astype(jnp.int32)
 
-    if method in ("prroi_packed", "prroi_packed_pallas"):
+    if method in ("prroi_packed", "prroi_packed_pallas",
+                  "prroi_packed_fused"):
         # Shelf layout: level 0 fills the left column; smaller levels
         # stack vertically in further columns (2-px zero gaps in both
         # axes — the PrRoI hat weights have +-1 px support, so levels
@@ -239,6 +240,12 @@ def multilevel_roi_align(pyramid, rois, canonical_level=2,
             )
 
             return prroi_packed_pallas(packed, rois_p, out_size)
+        if method == "prroi_packed_fused":
+            from tao_amodal_tpu.ops.pallas.prroi import (
+                prroi_packed_autodiff,
+            )
+
+            return prroi_packed_autodiff(packed, rois_p, out_size)
         return prroi_pool(packed, rois_p, out_size, 1.0)
 
     if method == "prroi_pallas":

@@ -50,12 +50,14 @@ class AmodalPipeline(NamedTuple):
                pallas_pooling=False, int8_backbone=False,
                stem="classic", exact_topk=False,
                sort_max_age=5, sort_min_hits=1,
-               sort_assignment="greedy", pre_nms_topk=100):
+               sort_assignment="greedy", pre_nms_topk=100,
+               pooling="auto"):
         return AmodalPipeline(
             detector=ClipDetector(num_classes=num_classes,
                                   num_dets=num_dets, dtype=dtype,
                                   num_proposals=num_proposals,
                                   backbone_stages=backbone_stages,
+                                  pooling=pooling,
                                   pallas_pooling=pallas_pooling,
                                   int8_backbone=int8_backbone,
                                   stem=stem, exact_topk=exact_topk,

@@ -155,3 +155,88 @@ def test_packed_multilevel_matches_per_level():
                                strides=strides, method="prroi_packed")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_pallas_matches_xla_einsum_interpret():
+    """Round-4 fused kernel == the XLA two-einsum form (both layouts),
+    interpret mode (the TPU lowering is measured on-chip in
+    experiments/prroi_pallas_v2.py)."""
+    from tao_amodal_tpu.ops.pallas.prroi import prroi_packed_fused
+    from tao_amodal_tpu.ops.roi import prroi_pool
+
+    rs = np.random.RandomState(3)
+    H, W, C, R = 24, 50, 128, 16
+    feat = jnp.asarray(rs.rand(H, W, C), jnp.float32)
+    rois = np.zeros((R, 4), np.float32)
+    rois[:, 0] = rs.rand(R) * (W - 8)
+    rois[:, 1] = rs.rand(R) * (H - 8)
+    rois[:, 2] = rois[:, 0] + 2 + rs.rand(R) * 12
+    rois[:, 3] = rois[:, 1] + 2 + rs.rand(R) * 10
+    rois = jnp.asarray(rois)
+
+    ref = np.asarray(prroi_pool(feat, rois, 7, 1.0))
+    for wmaj in (True, False):
+        out = np.asarray(prroi_packed_fused(feat, rois, 7, wmaj=wmaj,
+                                            interpret=True))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_fused_autodiff_gradients_match_einsum(monkeypatch):
+    """custom_vjp backward == autodiff of the separable-matmul form
+    in both features and roi coordinates."""
+    import tao_amodal_tpu.ops.pallas.prroi as P
+    from tao_amodal_tpu.ops.roi import prroi_pool
+
+    orig = P.prroi_packed_fused
+    monkeypatch.setattr(
+        P, "prroi_packed_fused",
+        lambda f, r, out_size=7, wmaj=True, interpret=False:
+        orig(f, r, out_size=out_size, wmaj=wmaj, interpret=True))
+
+    rs = np.random.RandomState(4)
+    H, W, C, R = 16, 20, 128, 8
+    feat = jnp.asarray(rs.rand(H, W, C), jnp.float32)
+    rois = np.zeros((R, 4), np.float32)
+    rois[:, 0] = rs.rand(R) * (W - 6)
+    rois[:, 1] = rs.rand(R) * (H - 6)
+    rois[:, 2] = rois[:, 0] + 2 + rs.rand(R) * 4
+    rois[:, 3] = rois[:, 1] + 2 + rs.rand(R) * 4
+    rois = jnp.asarray(rois)
+
+    g1 = jax.grad(lambda f, r: (P.prroi_packed_autodiff(f, r, 7)
+                                ** 2).sum(), argnums=(0, 1))(feat, rois)
+    g2 = jax.grad(lambda f, r: (prroi_pool(f, r, 7, 1.0) ** 2).sum(),
+                  argnums=(0, 1))(feat, rois)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                               atol=1e-2, rtol=1e-3)
+
+
+def test_multilevel_fused_matches_packed_interpret(monkeypatch):
+    """method='prroi_packed_fused' == 'prroi_packed' through the full
+    multilevel canvas path."""
+    import tao_amodal_tpu.ops.pallas.prroi as P
+
+    orig = P.prroi_packed_fused
+    monkeypatch.setattr(
+        P, "prroi_packed_fused",
+        lambda f, r, out_size=7, wmaj=True, interpret=False:
+        orig(f, r, out_size=out_size, wmaj=wmaj, interpret=True))
+
+    rs = np.random.RandomState(5)
+    pyramid = [jnp.asarray(rs.rand(s, s, 128), jnp.float32)
+               for s in (32, 16, 8, 4)]
+    R = 8
+    rois = np.zeros((R, 4), np.float32)
+    rois[:, 0] = rs.rand(R) * 200
+    rois[:, 1] = rs.rand(R) * 200
+    rois[:, 2] = rois[:, 0] + 5 + rs.rand(R) * 50
+    rois[:, 3] = rois[:, 1] + 5 + rs.rand(R) * 50
+    rois = jnp.asarray(rois)
+
+    a = np.asarray(multilevel_roi_align(pyramid, rois,
+                                        method="prroi_packed"))
+    b = np.asarray(multilevel_roi_align(pyramid, rois,
+                                        method="prroi_packed_fused"))
+    np.testing.assert_allclose(b, a, atol=1e-5)
