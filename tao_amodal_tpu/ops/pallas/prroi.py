@@ -235,28 +235,41 @@ def _fused_kernel(rois_ref, feat_ref, out_ref, *, out_size, n_long,
             out_ref[:, b, :, :] = o.astype(out_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("out_size", "wmaj", "interpret"))
+@partial(jax.jit, static_argnames=("out_size", "wmaj", "interpret",
+                                   "pre_transposed"))
 def prroi_packed_fused(features, rois, out_size=7, wmaj=True,
-                       interpret=False):
+                       interpret=False, pre_transposed=False):
     """Fused PrRoI forward over a packed canvas (forward only; use
     :func:`prroi_packed_autodiff` on training paths).
 
     Args:
       features: ``[H, W, C]`` canvas (h-major, the natural packed
         layout); ``wmaj=True`` transposes to w-major in XLA (the
-        transpose fuses with the canvas construction).
+        transpose fuses with the canvas construction).  With
+        ``pre_transposed=True`` the canvas is ALREADY w-major
+        ``[Wpad, H, C]`` with Wpad a multiple of 16 — the caller built
+        it transposed (see ``multilevel_roi_align``'s fused path), so
+        the flat view here is a free reshape and the XLA transpose
+        pass (~0.1 ms/clip at the production 4:3 shape) never exists.
       rois: ``[R, 4]`` xyxy in canvas coordinates.
 
     Returns ``[R, out, out, C]`` in the feature dtype.
     """
-    H, W, C = features.shape
     R = rois.shape[0]
-    if wmaj:
+    if pre_transposed:
+        Wpad, H, C = features.shape
+        assert Wpad % 16 == 0, Wpad
+        n_long, n_short = Wpad, H
+        flat = features.reshape(n_long, H * C)
+        wmaj = True
+    elif wmaj:
+        H, W, C = features.shape
         n_long, n_short = -(-W // 16) * 16, H
         flat = jnp.pad(features.transpose(1, 0, 2),
                        ((0, n_long - W), (0, 0), (0, 0)))
         flat = flat.reshape(n_long, H * C)
     else:
+        H, W, C = features.shape
         n_long, n_short = H, -(-W // 16) * 16
         flat = jnp.pad(features, ((0, 0), (0, n_short - W), (0, 0)))
         flat = flat.reshape(H, n_short * C)
@@ -301,6 +314,41 @@ def _prroi_autodiff_bwd(out_size, res, g):
 
 
 prroi_packed_autodiff.defvjp(_prroi_autodiff_fwd, _prroi_autodiff_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def prroi_packed_autodiff_t(features_t, rois, out_size=7):
+    """:func:`prroi_packed_autodiff` for a PRE-TRANSPOSED (w-major)
+    canvas ``[Wpad, H, C]`` (Wpad a multiple of 16).
+
+    Forward runs the fused kernel with a free flat view; backward
+    differentiates the exact XLA separable-matmul form over the
+    h-major view (the transpose is autodiff-transparent, so feature
+    gradients come back w-major as the caller laid them out).
+    """
+    return prroi_packed_fused(features_t, rois, out_size=out_size,
+                              pre_transposed=True)
+
+
+def _prroi_autodiff_t_fwd(features_t, rois, out_size):
+    return (prroi_packed_fused(features_t, rois, out_size=out_size,
+                               pre_transposed=True),
+            (features_t, rois))
+
+
+def _prroi_autodiff_t_bwd(out_size, res, g):
+    from tao_amodal_tpu.ops.roi import prroi_pool
+
+    features_t, rois = res
+    _, vjp = jax.vjp(
+        lambda ft, r: prroi_pool(ft.transpose(1, 0, 2), r, out_size,
+                                 1.0).astype(g.dtype),
+        features_t, rois)
+    return vjp(g)
+
+
+prroi_packed_autodiff_t.defvjp(_prroi_autodiff_t_fwd,
+                               _prroi_autodiff_t_bwd)
 
 
 @partial(jax.jit, static_argnames=("out_size", "block_r", "interpret"))

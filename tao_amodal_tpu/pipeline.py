@@ -130,7 +130,7 @@ class AmodalPipeline(NamedTuple):
         # unrolling lets XLA fuse the small per-frame ops across
         # iterations instead of paying loop plumbing per frame.
         sort_state, (track_ids, reported) = jax.lax.scan(
-            assoc, sort_state, (amodal, det_valid), unroll=8)
+            assoc, sort_state, (amodal, det_valid), unroll=16)
         return {
             "boxes": amodal,                  # [T, D, 4] xyxy amodal
             "visible_boxes": det["boxes"],    # [T, D, 4]

@@ -190,8 +190,10 @@ def test_fused_autodiff_gradients_match_einsum(monkeypatch):
     orig = P.prroi_packed_fused
     monkeypatch.setattr(
         P, "prroi_packed_fused",
-        lambda f, r, out_size=7, wmaj=True, interpret=False:
-        orig(f, r, out_size=out_size, wmaj=wmaj, interpret=True))
+        lambda f, r, out_size=7, wmaj=True, interpret=False,
+        pre_transposed=False:
+        orig(f, r, out_size=out_size, wmaj=wmaj, interpret=True,
+             pre_transposed=pre_transposed))
 
     rs = np.random.RandomState(4)
     H, W, C, R = 16, 20, 128, 8
@@ -221,8 +223,10 @@ def test_multilevel_fused_matches_packed_interpret(monkeypatch):
     orig = P.prroi_packed_fused
     monkeypatch.setattr(
         P, "prroi_packed_fused",
-        lambda f, r, out_size=7, wmaj=True, interpret=False:
-        orig(f, r, out_size=out_size, wmaj=wmaj, interpret=True))
+        lambda f, r, out_size=7, wmaj=True, interpret=False,
+        pre_transposed=False:
+        orig(f, r, out_size=out_size, wmaj=wmaj, interpret=True,
+             pre_transposed=pre_transposed))
 
     rs = np.random.RandomState(5)
     pyramid = [jnp.asarray(rs.rand(s, s, 128), jnp.float32)
@@ -240,3 +244,45 @@ def test_multilevel_fused_matches_packed_interpret(monkeypatch):
     b = np.asarray(multilevel_roi_align(pyramid, rois,
                                         method="prroi_packed_fused"))
     np.testing.assert_allclose(b, a, atol=1e-5)
+
+
+def test_fused_pre_transposed_autodiff_matches_xla(monkeypatch):
+    """prroi_packed_autodiff_t (w-major canvas): forward == XLA einsum
+    on the h-major view, gradients == autodiff of the separable form
+    (the training path now pools through this variant on TPU)."""
+    import tao_amodal_tpu.ops.pallas.prroi as P
+    from tao_amodal_tpu.ops.roi import prroi_pool
+
+    orig = P.prroi_packed_fused
+    monkeypatch.setattr(
+        P, "prroi_packed_fused",
+        lambda f, r, out_size=7, wmaj=True, interpret=False,
+        pre_transposed=False:
+        orig(f, r, out_size=out_size, wmaj=wmaj, interpret=True,
+             pre_transposed=pre_transposed))
+
+    rs = np.random.RandomState(6)
+    H, Wpad, C, R = 12, 32, 128, 8
+    feat_t = jnp.asarray(rs.rand(Wpad, H, C), jnp.float32)
+    rois = np.zeros((R, 4), np.float32)
+    rois[:, 0] = rs.rand(R) * (Wpad - 8)
+    rois[:, 1] = rs.rand(R) * (H - 6)
+    rois[:, 2] = rois[:, 0] + 2 + rs.rand(R) * 5
+    rois[:, 3] = rois[:, 1] + 2 + rs.rand(R) * 3
+    rois = jnp.asarray(rois)
+
+    out = np.asarray(P.prroi_packed_autodiff_t(feat_t, rois, 7))
+    ref = np.asarray(prroi_pool(feat_t.transpose(1, 0, 2), rois, 7,
+                                1.0))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    g1 = jax.grad(lambda f, r: (P.prroi_packed_autodiff_t(f, r, 7)
+                                ** 2).sum(), argnums=(0, 1))(feat_t,
+                                                             rois)
+    g2 = jax.grad(
+        lambda f, r: (prroi_pool(f.transpose(1, 0, 2), r, 7, 1.0)
+                      ** 2).sum(), argnums=(0, 1))(feat_t, rois)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                               atol=1e-2, rtol=1e-3)
