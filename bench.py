@@ -42,6 +42,10 @@ def main():
                    help="RoI budget per frame (accuracy impact "
                         "quantified in experiments/accuracy_study.json: "
                         "no det-AP penalty vs 128 at 3 checkpoints)")
+    p.add_argument("--fused_stages", default="",
+                   help="comma list of trunk stages (1-4) to run "
+                        "through the fused bottleneck-chain Pallas "
+                        "kernel (e.g. '1,2'); empty = XLA convs")
     p.add_argument("--pooling", default="auto",
                    choices=["auto", "packed", "fused"],
                    help="RoI pooling impl: XLA two-einsum ('packed') "
@@ -96,7 +100,9 @@ def main():
         pallas_pooling=False, stem="s2d_pre",
         sort_assignment=args.assignment,
         pre_nms_topk=args.pre_nms_topk,
-        pooling=args.pooling)
+        pooling=args.pooling,
+        fused_stages=tuple(int(s) for s in args.fused_stages.split(",")
+                           if s.strip()))
 
     rng = jax.random.PRNGKey(0)
     # Several distinct RAW uint8 clips, cycled, so no caching shortcut

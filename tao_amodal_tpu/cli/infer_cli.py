@@ -54,6 +54,16 @@ def main(argv=None):
     p.add_argument("--clip_len", type=int, default=16)
     p.add_argument("--score_threshold", type=float, default=0.05)
     p.add_argument("--num_videos", type=int, default=None)
+    # Architecture flags (must match the checkpoint being loaded).
+    p.add_argument("--backbone_stages", default="3,4,6,3",
+                   help="comma list of ResNet stage sizes")
+    p.add_argument("--num_dets", type=int, default=64)
+    p.add_argument("--num_proposals", type=int, default=96)
+    p.add_argument("--pre_nms_topk", type=int, default=100)
+    p.add_argument("--assignment", default="greedy",
+                   choices=["greedy", "gated_auction", "auction"])
+    p.add_argument("--fused_stages", default="",
+                   help="trunk stages for the fused Pallas chain")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -71,7 +81,15 @@ def main(argv=None):
     # Detector class index i <-> i-th dataset category id.
     cat_ids = sorted(dataset.cats.keys())
     class_id_map = dict(enumerate(cat_ids))
-    pipeline = AmodalPipeline.create(num_classes=len(cat_ids))
+    pipeline = AmodalPipeline.create(
+        num_classes=len(cat_ids),
+        backbone_stages=tuple(
+            int(s) for s in args.backbone_stages.split(",")),
+        num_dets=args.num_dets, num_proposals=args.num_proposals,
+        pre_nms_topk=args.pre_nms_topk,
+        sort_assignment=args.assignment,
+        fused_stages=tuple(int(s) for s in args.fused_stages.split(",")
+                           if s.strip()))
     S, T = args.input_size, args.clip_len
 
     if args.checkpoint:

@@ -137,6 +137,37 @@ class ResNet(nn.Module):
     #               ops/pallas/preproc.preprocess_clip_s2d) — measured
     #               0.5 ms: the fold rides the preproc pass for free.
     stem: str = "classic"
+    # Stages (1-indexed, conv2..conv5) whose stride-1 bottleneck chain
+    # runs through the fused Pallas kernel on the inference path
+    # (ops/pallas/fused_stage): one HBM read + one write per stage
+    # instead of per-conv round-trips.  The strided first block of
+    # stages 2-4 stays XLA; stage 1 fuses whole.  Training and init
+    # always take the unfused path (the kernel's custom VJP
+    # differentiates the exact XLA chain anyway); parity is tested in
+    # tests/test_fused_stage.py.
+    fused_stages: Sequence[int] = ()
+
+    def _folded_block_params(self, name, has_ds):
+        """Inference-folded (conv+BN -> matmul+bias) params of one
+        Bottleneck child, for the fused-stage kernel."""
+        from tao_amodal_tpu.ops.pallas.fused_stage import fold_convbn
+
+        pv = self.variables["params"][name]
+        bs = self.variables["batch_stats"][name]
+
+        def fold(cb):
+            bn_p, bn_s = pv[cb]["BatchNorm_0"], bs[cb]["BatchNorm_0"]
+            return fold_convbn(pv[cb]["Conv_0"]["kernel"],
+                               bn_p["scale"], bn_p["bias"],
+                               bn_s["mean"], bn_s["var"])
+
+        wa, ba = fold("ConvBN_0")
+        w3, b3 = fold("ConvBN_1")
+        wb, bb = fold("ConvBN_2")
+        p = dict(wa=wa, ba=ba, w3=w3, b3=b3, wb=wb, bb=bb)
+        if has_ds:
+            p["wd"], p["bd"] = fold("ConvBN_3")
+        return p
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -157,14 +188,41 @@ class ResNet(nn.Module):
             raise ValueError(f"unknown stem: {self.stem}")
         outputs = []
         features = 64
+        block_idx = 0
         for stage, blocks in enumerate(self.stage_sizes):
+            fuse = ((stage + 1) in self.fused_stages
+                    and not train and not self.is_initializing()
+                    and not self.int8
+                    and self.dilations[stage] == 1)
+            mods = []
             for i in range(blocks):
                 stride = self.strides[stage] if i == 0 else 1
-                x = Bottleneck(
+                mods.append(Bottleneck(
                     features, strides=stride,
                     dilation=self.dilations[stage],
                     downsample=(i == 0), dtype=self.dtype,
-                    int8=self.int8)(x, train)
+                    int8=self.int8))
+            # The fused kernel handles stride-1 chains; a strided
+            # first block runs unfused ahead of it.
+            start = 0 if self.strides[stage] == 1 else 1
+            if fuse and blocks - start >= 2:
+                from tao_amodal_tpu.ops.pallas.fused_stage import (
+                    fused_bottleneck_chain,
+                )
+
+                for i in range(start):
+                    x = mods[i](x, train)
+                params = [
+                    self._folded_block_params(
+                        f"Bottleneck_{block_idx + i}",
+                        has_ds=(i == 0 and start == 0))
+                    for i in range(start, blocks)]
+                x = fused_bottleneck_chain(x.astype(self.dtype),
+                                           params)
+            else:
+                for m in mods:
+                    x = m(x, train)
+            block_idx += blocks
             if (stage + 1) in self.out_stages:
                 outputs.append(x)
             features *= 2

@@ -103,13 +103,18 @@ class ClipDetector(nn.Module):
     # Exact jax.lax.top_k in proposal pre-selection instead of
     # approx_max_k (reference-exact ordering; ~10x slower op).
     exact_topk: bool = False
+    # Trunk stages routed through the fused bottleneck-chain Pallas
+    # kernel on the inference path (ops/pallas/fused_stage; parity- and
+    # gradient-tested).  () = plain XLA convs.
+    fused_stages: Sequence[int] = ()
     dtype: Any = jnp.float32
 
     def setup(self):
         self.backbone = ResNet(stage_sizes=tuple(self.backbone_stages),
                                out_stages=(2, 3, 4), dtype=self.dtype,
                                int8=self.int8_backbone,
-                               stem=self.stem)
+                               stem=self.stem,
+                               fused_stages=tuple(self.fused_stages))
         self.fpn = FPN(self.features, num_extra_levels=2, dtype=self.dtype)
         self.rpn = RPNHead(num_anchors=len(self.anchor_ratios),
                            features=self.features, dtype=self.dtype)

@@ -51,7 +51,7 @@ class AmodalPipeline(NamedTuple):
                stem="classic", exact_topk=False,
                sort_max_age=5, sort_min_hits=1,
                sort_assignment="greedy", pre_nms_topk=100,
-               pooling="auto"):
+               pooling="auto", fused_stages=()):
         return AmodalPipeline(
             detector=ClipDetector(num_classes=num_classes,
                                   num_dets=num_dets, dtype=dtype,
@@ -61,7 +61,8 @@ class AmodalPipeline(NamedTuple):
                                   pallas_pooling=pallas_pooling,
                                   int8_backbone=int8_backbone,
                                   stem=stem, exact_topk=exact_topk,
-                                  pre_nms_topk=pre_nms_topk),
+                                  pre_nms_topk=pre_nms_topk,
+                                  fused_stages=fused_stages),
             expander=AmodalExpander(dtype=dtype),
             sort_max_age=sort_max_age,
             sort_min_hits=sort_min_hits,

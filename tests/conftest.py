@@ -58,6 +58,8 @@ SLOW_MODULES = {
     "test_sot_harness",        # tracker-on-sequence harnesses
     "test_sot_train",
     "test_torch_convert",      # full detector conversion parity
+    "test_scale_rehearsal",    # fixture->infer->eval dress run
+    "test_fused_stage",        # pallas fused trunk chain (interpret)
     "test_trackers",           # siamrpn/longterm per-frame programs
     "test_training",           # detector/siamese train steps
 }
