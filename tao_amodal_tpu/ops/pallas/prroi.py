@@ -179,16 +179,19 @@ def prroi_packed_pallas(features, rois, out_size=7, block_r=8,
 
 def _fused_kernel(rois_ref, feat_ref, out_ref, *, out_size, n_long,
                   n_short, wmaj):
-    """Whole-R fused PrRoI against a flat canvas (round-4 kernel).
+    """Fused PrRoI against a flat canvas (round-4 kernel).
 
     The round-2 ``_packed_kernel``'s second stage pays per-roi
     transposes; this formulation keeps BOTH stages as MXU-friendly
     contractions — stage 1 is a per-bin flat matmul
     ``[R, n_long] @ [n_long, n_short*C]``, stage 2 a single batched
-    ``dot_general`` over the roi axis — and the whole roi set is one
-    block (no grid), so the intermediate never leaves VMEM.  Measured
-    0.590 ms/clip vs the XLA two-einsum's 0.847 at the production 4:3
-    shape (experiments/prroi_pallas_v2.py).
+    ``dot_general`` over the roi axis.  At the production shape the
+    whole roi set is one block (no R grid) so the intermediate never
+    leaves VMEM; larger (R, canvas) shapes run a 1-D grid over roi
+    blocks with the canvas block resident (constant index map — Pallas
+    skips the re-fetch).  Measured 0.590 ms/clip vs the XLA
+    two-einsum's 0.847 at the production 4:3 shape
+    (experiments/prroi_pallas_v2.py).
 
     feat_ref: ``[n_long, n_short*C]`` — the canvas flattened with the
     LONG spatial axis leading (w-major when the canvas is wide).
@@ -235,6 +238,32 @@ def _fused_kernel(rois_ref, feat_ref, out_ref, *, out_size, n_long,
             out_ref[:, b, :, :] = o.astype(out_ref.dtype)
 
 
+def _fused_block_r(R, n_long, n_short, C, out_size, esize,
+                   budget=13 * 2 ** 20):
+    """Largest roi-block size whose scoped-VMEM footprint fits.
+
+    Whole-R when it fits (the production fast path: one grid step,
+    zero block churn); otherwise halve until the resident set — canvas
+    block + f32 stage-1 intermediate + double-buffered output block +
+    weight planes — is under ``budget`` (16 MB scoped VMEM minus
+    headroom for Mosaic temporaries; the R=128/112x16384 study shape
+    measured 19.95 MB whole-R, i.e. over the limit).
+    """
+    feat_b = n_long * n_short * C * esize
+
+    def fits(br):
+        per = (br * n_short * C * 4            # m1 (f32 accumulator)
+               + 2 * br * out_size * out_size * C * esize   # out x2
+               + br * out_size * (n_long + n_short) * 4     # weights
+               + br * out_size * C * 4)        # stage-2 f32 output
+        return feat_b + per <= budget
+
+    for br in range(R, 0, -1):
+        if R % br == 0 and (fits(br) or br * 2 <= 8):
+            return br
+    return 1
+
+
 @partial(jax.jit, static_argnames=("out_size", "wmaj", "interpret",
                                    "pre_transposed"))
 def prroi_packed_fused(features, rois, out_size=7, wmaj=True,
@@ -273,14 +302,23 @@ def prroi_packed_fused(features, rois, out_size=7, wmaj=True,
         n_long, n_short = H, -(-W // 16) * 16
         flat = jnp.pad(features, ((0, 0), (0, n_short - W), (0, 0)))
         flat = flat.reshape(H, n_short * C)
+    block_r = _fused_block_r(R, n_long, n_short, C, out_size,
+                             jnp.dtype(features.dtype).itemsize)
     return pl.pallas_call(
         partial(_fused_kernel, out_size=out_size, n_long=n_long,
                 n_short=n_short, wmaj=wmaj),
         out_shape=jax.ShapeDtypeStruct((R, out_size, out_size, C),
                                        features.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid=(R // block_r,),
+        in_specs=[
+            pl.BlockSpec((block_r, 4), lambda r: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_long, n_short * C), lambda r: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_r, out_size, out_size, C),
+                               lambda r: (r, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
         interpret=interpret,
     )(rois.astype(jnp.float32), flat)
 

@@ -185,7 +185,7 @@ class AmodalPipeline(NamedTuple):
             return state, (out["det_track_id"], out["det_report"])
 
         def per_video(state, boxes, valid):
-            return jax.lax.scan(assoc, state, (boxes, valid), unroll=8)
+            return jax.lax.scan(assoc, state, (boxes, valid), unroll=16)
 
         unflat = lambda a: a.reshape((B, T) + a.shape[1:])
         sort_states, (track_ids, reported) = jax.vmap(per_video)(

@@ -184,6 +184,10 @@ def main(argv=None):
     p.add_argument("--resume_ckpt", default=None,
                    help="skip training; load variables from this "
                         "save_pytree .npz (e.g. <workdir>/ckpt.npz)")
+    p.add_argument("--resume_dir", default=None,
+                   help="skip training; load EVERY <dir>/ckpt_<step>"
+                        ".npz as the snapshot set (recovers a study "
+                        "whose inference phase died after training)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke/testing; the "
                         "axon TPU tunnel serves one process at a time)")
@@ -234,7 +238,20 @@ def main(argv=None):
                       if s.strip()]
     pipeline = AmodalPipeline.create(
         num_proposals=proposals_list[0], **arch)
-    if args.resume_ckpt:
+    if args.resume_dir:
+        import glob as _glob
+
+        from tao_amodal_tpu.utils.checkpoint import load_pytree
+
+        snapshots = {}
+        for path in sorted(_glob.glob(
+                os.path.join(args.resume_dir, "ckpt_*.npz"))):
+            step = int(os.path.basename(path)[5:-4])
+            snapshots[step] = load_pytree(path)
+        assert snapshots, args.resume_dir
+        logger.info("resumed %s snapshots from %s",
+                    sorted(snapshots), args.resume_dir)
+    elif args.resume_ckpt:
         from tao_amodal_tpu.utils.checkpoint import load_pytree
 
         snapshots = {0: load_pytree(args.resume_ckpt)}
@@ -305,8 +322,17 @@ def main(argv=None):
                 exact_topk=exact, num_proposals=num_p,
                 sort_assignment=assign, pre_nms_topk=pre_k, **arch)
             t0 = time.time()
-            records = infer(pipe, variables, gt_val, frames_val, res,
-                            score_threshold=args.score_threshold)
+            try:
+                records = infer(pipe, variables, gt_val, frames_val,
+                                res,
+                                score_threshold=args.score_threshold)
+            except Exception as e:  # transient remote-compile 500s
+                logger.warning("infer failed (%s); retrying in 60s",
+                               type(e).__name__)
+                time.sleep(60)
+                records = infer(pipe, variables, gt_val, frames_val,
+                                res,
+                                score_threshold=args.score_threshold)
             infer_s = time.time() - t0
             pred_path = os.path.join(
                 args.workdir, f"preds_{ckpt_step}_{tag}.json")
