@@ -286,3 +286,40 @@ def test_fused_pre_transposed_autodiff_matches_xla(monkeypatch):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
                                atol=1e-2, rtol=1e-3)
+
+
+def test_fused_block_r_fits_vmem_and_grid_matches(monkeypatch):
+    """The R-grid blocked path (round-4 VMEM fix) == whole-R.
+
+    The study shape (R=128, 112x(64*256) canvas) measured 19.95 MB of
+    scoped VMEM whole-R — over the 16 MB limit — so `_fused_block_r`
+    must split it; and the gridded kernel must stay exactly equal to
+    the single-block form.
+    """
+    import tao_amodal_tpu.ops.pallas.prroi as P
+    from tao_amodal_tpu.ops.roi import prroi_pool
+
+    # The shape that OOMed on-chip must get a sub-whole block...
+    assert P._fused_block_r(128, 112, 64, 256, 7, 2) < 128
+    # ...production-small shapes keep the single-block fast path.
+    assert P._fused_block_r(96, 112, 64, 256, 7, 2,
+                            budget=64 * 2 ** 20) == 96
+
+    # Force blocking at a test-size shape and check equivalence.
+    monkeypatch.setattr(P, "_fused_block_r",
+                        lambda *a, **k: 6)
+    rs = np.random.RandomState(7)
+    H, W, C, R = 20, 40, 128, 24
+    feat = jnp.asarray(rs.rand(H, W, C), jnp.float32)
+    rois = np.zeros((R, 4), np.float32)
+    rois[:, 0] = rs.rand(R) * (W - 8)
+    rois[:, 1] = rs.rand(R) * (H - 8)
+    rois[:, 2] = rois[:, 0] + 2 + rs.rand(R) * 12
+    rois[:, 3] = rois[:, 1] + 2 + rs.rand(R) * 10
+    rois = jnp.asarray(rois)
+
+    ref = np.asarray(prroi_pool(feat, rois, 7, 1.0))
+    for wmaj in (True, False):
+        out = np.asarray(P.prroi_packed_fused(
+            feat, rois, 7, wmaj=wmaj, interpret=True))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
