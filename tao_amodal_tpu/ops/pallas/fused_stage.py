@@ -274,26 +274,58 @@ def _fused_chain_bwd(layout_key, S, res, g):
 _fused_chain_op.defvjp(_fused_chain_fwd, _fused_chain_bwd)
 
 
-def fused_bottleneck_chain(x, params, tile_rows=24):
+def _chain_tile_rows(H, W, Cin, M, n_blocks, esize,
+                     budget=13 * 2 ** 20, cap=None):
+    """Largest row-tile S (divisor of H, >= halo) whose scoped-VMEM
+    footprint fits.
+
+    Conservative sum of the resident set at one grid step: the three
+    double-buffered haloed input blocks + double-buffered output block
+    + the per-block peak (bf16 im2col + f32 pre-residual sums — the
+    f32 ``b``/``res`` planes at 4M channels dominate).  The production
+    stage-1 shape (96x128xC256, 3 blocks) overflows the 16 MB limit at
+    S=24 (~25 MB) and fits at S=8.
+    """
+    halo = n_blocks
+    Cout = 4 * M
+    for S in range(min(cap or H, H), halo - 1, -1):
+        if H % S:
+            continue
+        rows = S + 2 * halo
+        f = (6 * S * W * Cin * esize        # prev/cur/next, 2 buffers
+             + 2 * S * W * Cout * esize     # out block, 2 buffers
+             + rows * W * Cin * esize       # assembled x tile
+             + rows * W * M * esize         # a
+             + rows * W * 3 * M * esize     # x3 im2col
+             + (rows - 2) * W * M * 4       # h (f32)
+             + 2 * (rows - 2) * W * Cout * 4)  # b + res (f32)
+        if f <= budget:
+            return S
+    return 0
+
+
+def fused_bottleneck_chain(x, params, tile_rows=None):
     """Run a chain of stride-1 bottleneck blocks fused in VMEM.
 
     Args:
-      x: ``[T, H, W, Cin]`` stage input (H divisible by ``tile_rows``).
+      x: ``[T, H, W, Cin]`` stage input.
       params: list of folded per-block dicts with keys
         ``wa/ba/w3/b3/wb/bb`` (+ ``wd/bd`` projection shortcut where the
         block changes width).  Fold BN first via :func:`fold_convbn`.
-      tile_rows: rows per grid step (VMEM working set knob).
+      tile_rows: rows per grid step; None = largest divisor of H that
+        fits the scoped-VMEM estimate (:func:`_chain_tile_rows`).
 
     Returns ``[T, H, W, 4M]``; differentiable (exact conv gradients via
     the XLA reference chain).
     """
-    H = x.shape[1]
+    H, W, Cin = x.shape[1], x.shape[2], x.shape[3]
     halo = len(params)
-    # Largest divisor of H that fits the VMEM knob; the prev/cur/next
-    # halo assembly needs S >= halo (each neighbor block must contain
-    # the full halo).  No such divisor -> exact XLA fallback.
-    S = max((d for d in range(1, min(tile_rows, H) + 1)
-             if H % d == 0 and d >= halo), default=0)
+    M = params[0]["w3"].shape[-1]
+    # The prev/cur/next halo assembly needs S >= halo (each neighbor
+    # block must contain the full halo).  No fitting divisor -> exact
+    # XLA fallback.
+    S = _chain_tile_rows(H, W, Cin, M, halo,
+                         jnp.dtype(x.dtype).itemsize, cap=tile_rows)
     if S == 0:
         return bottleneck_chain_reference(x, params)
     layout_key = tuple((("wd" in p), 8 + 2 * ("wd" in p))
