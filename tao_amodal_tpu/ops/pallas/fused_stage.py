@@ -292,9 +292,12 @@ def _chain_tile_rows(H, W, Cin, M, n_blocks, esize,
         if H % S:
             continue
         rows = S + 2 * halo
+        # The chain's intermediate x widens to Cout after block 0
+        # (stage 1 enters at 64ch but runs at 256).
+        Cx = max(Cin, Cout)
         f = (6 * S * W * Cin * esize        # prev/cur/next, 2 buffers
              + 2 * S * W * Cout * esize     # out block, 2 buffers
-             + rows * W * Cin * esize       # assembled x tile
+             + rows * W * Cx * esize        # assembled x tile
              + rows * W * M * esize         # a
              + rows * W * 3 * M * esize     # x3 im2col
              + (rows - 2) * W * M * 4       # h (f32)
