@@ -258,10 +258,17 @@ def _fused_block_r(R, n_long, n_short, C, out_size, esize,
                + br * out_size * C * 4)        # stage-2 f32 output
         return feat_b + per <= budget
 
-    for br in range(R, 0, -1):
-        if R % br == 0 and (fits(br) or br * 2 <= 8):
+    # Mosaic constraint: a gridded block's sublane axis must be a
+    # multiple of 8 OR the whole axis — anything else fails lowering
+    # ("divisible by 8 and 128" check), so only legal blockings are
+    # candidates.  ``None`` = no legal blocking fits scoped VMEM; the
+    # caller must take the XLA path.
+    legal = [R] + [br for br in range(R - 1, 0, -1)
+                   if R % br == 0 and br % 8 == 0]
+    for br in legal:
+        if fits(br):
             return br
-    return 1
+    return None
 
 
 @partial(jax.jit, static_argnames=("out_size", "wmaj", "interpret",
@@ -304,6 +311,24 @@ def prroi_packed_fused(features, rois, out_size=7, wmaj=True,
         flat = flat.reshape(H, n_short * C)
     block_r = _fused_block_r(R, n_long, n_short, C, out_size,
                              jnp.dtype(features.dtype).itemsize)
+    if block_r is None:
+        # No Mosaic-legal roi blocking keeps the resident set inside
+        # scoped VMEM (huge canvas and/or R with no 8-divisible
+        # factor): take the exact XLA separable-matmul path instead.
+        # The canvas here is w-major, so pool with swapped roi axes
+        # and transpose the output grid back — bin (y, x) of the
+        # h-major pool is bin (x, y) of the w-major one.
+        from tao_amodal_tpu.ops.roi import prroi_pool
+
+        feats_wm = features if (pre_transposed or not wmaj) else \
+            jnp.pad(features.transpose(1, 0, 2),
+                    ((0, n_long - features.shape[1]), (0, 0), (0, 0)))
+        if pre_transposed or wmaj:
+            rois_sw = rois[:, jnp.asarray([1, 0, 3, 2])]
+            out = prroi_pool(feats_wm, rois_sw, out_size, 1.0)
+            return out.transpose(0, 2, 1, 3).astype(features.dtype)
+        return prroi_pool(features, rois, out_size,
+                          1.0).astype(features.dtype)
     return pl.pallas_call(
         partial(_fused_kernel, out_size=out_size, n_long=n_long,
                 n_short=n_short, wmaj=wmaj),

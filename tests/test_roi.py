@@ -323,3 +323,48 @@ def test_fused_block_r_fits_vmem_and_grid_matches(monkeypatch):
         out = np.asarray(P.prroi_packed_fused(
             feat, rois, 7, wmaj=wmaj, interpret=True))
         np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_fused_block_r_legal_and_xla_fallback(monkeypatch):
+    """Chooser emits only Mosaic-legal blockings; None -> XLA path.
+
+    A gridded roi block's sublane axis must be a multiple of 8 (or the
+    whole axis) or Pallas lowering fails ("divisible by 8 and 128").
+    The pre-fix chooser's `br*2<=8` escape returned 4/2/1, which crash
+    whenever br < R — observed feeding an UNFOLDED 384x512 clip to the
+    detector (16x canvas area vs the s2d-folded serving tensor).
+    """
+    import tao_amodal_tpu.ops.pallas.prroi as P
+    from tao_amodal_tpu.ops.roi import prroi_pool
+
+    # Every choice at a sweep of shapes is whole-R or 8-divisible.
+    for R in (8, 16, 24, 96, 128, 100, 12):
+        for budget in (2 ** 18, 2 ** 22, 2 ** 24):
+            br = P._fused_block_r(R, 112, 64, 256, 7, 2, budget=budget)
+            assert br is None or br == R or br % 8 == 0, (R, budget, br)
+    # Giant canvas: nothing legal fits -> None (pre-fix returned 4).
+    assert P._fused_block_r(96, 1536, 384, 256, 7, 2) is None
+
+    # None must route to the exact XLA separable path, all layouts.
+    monkeypatch.setattr(P, "_fused_block_r", lambda *a, **k: None)
+    rs = np.random.RandomState(11)
+    H, W, C, R = 20, 40, 128, 24
+    feat = jnp.asarray(rs.rand(H, W, C), jnp.float32)
+    rois = np.zeros((R, 4), np.float32)
+    rois[:, 0] = rs.rand(R) * (W - 8)
+    rois[:, 1] = rs.rand(R) * (H - 8)
+    rois[:, 2] = rois[:, 0] + 2 + rs.rand(R) * 12
+    rois[:, 3] = rois[:, 1] + 2 + rs.rand(R) * 10
+    rois = jnp.asarray(rois)
+    ref = np.asarray(prroi_pool(feat, rois, 7, 1.0))
+    for wmaj in (True, False):
+        out = np.asarray(P.prroi_packed_fused(
+            feat, rois, 7, wmaj=wmaj, interpret=True))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+    # Pre-transposed w-major canvas [Wpad, H, C], Wpad % 16 == 0.
+    Wpad = -(-W // 16) * 16
+    feat_t = jnp.pad(feat.transpose(1, 0, 2),
+                     ((0, Wpad - W), (0, 0), (0, 0)))
+    out = np.asarray(P.prroi_packed_fused(
+        feat_t, rois, 7, pre_transposed=True, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
