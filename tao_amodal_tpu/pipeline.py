@@ -43,6 +43,13 @@ class AmodalPipeline(NamedTuple):
     # IoU gate — the reference's optimal-assignment semantics, 32x
     # faster than the full price war).
     sort_assignment: str = "greedy"
+    # Ablation switch: False bypasses the Amodal Expander and reports
+    # the detector's visible (modal, frame-clipped) boxes as the
+    # output — the "identity expander" control the amodal-metric study
+    # compares against (the expander must beat it on AP-HP/AP-OOF or
+    # it isn't earning its name).  Init still creates expander params
+    # so checkpoints stay interchangeable between the two settings.
+    use_expander: bool = True
 
     @staticmethod
     def create(num_classes=80, num_dets=64, dtype=jnp.float32,
@@ -51,7 +58,7 @@ class AmodalPipeline(NamedTuple):
                stem="classic", exact_topk=False,
                sort_max_age=5, sort_min_hits=1,
                sort_assignment="greedy", pre_nms_topk=100,
-               pooling="auto", fused_stages=()):
+               pooling="auto", fused_stages=(), use_expander=True):
         return AmodalPipeline(
             detector=ClipDetector(num_classes=num_classes,
                                   num_dets=num_dets, dtype=dtype,
@@ -67,6 +74,7 @@ class AmodalPipeline(NamedTuple):
             sort_max_age=sort_max_age,
             sort_min_hits=sort_min_hits,
             sort_assignment=sort_assignment,
+            use_expander=use_expander,
         )
 
     def preprocess(self, frames, out_size=512, use_pallas=None):
@@ -109,9 +117,12 @@ class AmodalPipeline(NamedTuple):
         per clip would fragment every track into 16-frame pieces AND
         reuse the same ids for different objects)."""
         det = self.detector.apply(variables["detector"], clip)
-        amodal, _ = self.expander.apply(
-            variables["expander"], det["roi_features"], det["boxes"],
-            image_hw=self.detector.image_hw_of(clip))
+        if self.use_expander:
+            amodal, _ = self.expander.apply(
+                variables["expander"], det["roi_features"],
+                det["boxes"], image_hw=self.detector.image_hw_of(clip))
+        else:
+            amodal = det["boxes"]
 
         det_valid = det["scores"] > score_thr
 
@@ -171,9 +182,12 @@ class AmodalPipeline(NamedTuple):
                 lambda _: self.init_tracker_state())(jnp.arange(B))
         flat = clips.reshape((B * T,) + clips.shape[2:])
         det = self.detector.apply(variables["detector"], flat)
-        amodal, _ = self.expander.apply(
-            variables["expander"], det["roi_features"], det["boxes"],
-            image_hw=self.detector.image_hw_of(flat))
+        if self.use_expander:
+            amodal, _ = self.expander.apply(
+                variables["expander"], det["roi_features"],
+                det["boxes"], image_hw=self.detector.image_hw_of(flat))
+        else:
+            amodal = det["boxes"]
         det_valid = det["scores"] > score_thr
 
         def assoc(state, frame):

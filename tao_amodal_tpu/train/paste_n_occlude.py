@@ -156,3 +156,72 @@ def make_occluder_bank(images_with_masks, patch_size=64):
     import numpy as np
 
     return jnp.asarray(np.stack(bank))
+
+
+def synthetic_occluder_bank(seed=0, num=16, patch_size=64):
+    """Zero-egress occluder bank: textured ellipses in random colors.
+
+    Stands in for the reference recipe's segmented-object occluders
+    (built from real masks via :func:`make_occluder_bank`) when no real
+    segments are available.  Elliptical alpha keeps the occluders
+    shape-distinct from the synthetic datasets' rectangular targets so
+    the detector's background class stays learnable.
+    """
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:patch_size, 0:patch_size].astype(np.float32)
+    c = (patch_size - 1) / 2.0
+    bank = []
+    for _ in range(num):
+        base = rs.uniform(30, 225, 3).astype(np.float32)
+        tex = rs.uniform(-30, 30, (patch_size, patch_size, 3))
+        rgb = np.clip(base[None, None] + tex, 0, 255)
+        ry = rs.uniform(0.30, 0.49) * patch_size
+        rx = rs.uniform(0.30, 0.49) * patch_size
+        alpha = ((((yy - c) / ry) ** 2 + ((xx - c) / rx) ** 2)
+                 <= 1.0).astype(np.float32)
+        bank.append(np.concatenate([rgb, alpha[..., None]], axis=-1))
+    return jnp.asarray(np.stack(bank), jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("max_occluders",))
+def paste_n_occlude_batch(images, gt_boxes, gt_amodal, gt_valid,
+                          occluder_bank, rng, max_occluders=3,
+                          scale_range=(0.5, 1.5), occlude_prob=0.8):
+    """PasteNOcclude over a detector training batch (all inside jit).
+
+    Per sample: one random valid gt is the paste target (occluders
+    land near it), then EVERY gt's visible box is re-shrunk against
+    the composited occupancy mask — occluders shrink whatever they
+    cover, exactly like the reference recipe's pasted segments.  The
+    amodal targets are untouched; a gt whose visibility drops to zero
+    is invalidated as a modal detection target (its visible box no
+    longer exists).
+
+    Args:
+      images: ``[B, H, W, 3]`` float RGB in 0-255 (pre-normalization).
+      gt_boxes / gt_amodal: ``[B, G, 4]`` xyxy.
+      gt_valid: ``[B, G]`` bool.
+
+    Returns ``(images, gt_boxes, gt_valid, visibility [B, G])``.
+    """
+
+    def one(image, boxes, amodal, valid, key):
+        k_pick, k_paste = jax.random.split(key)
+        u = jax.random.uniform(k_pick, valid.shape)
+        idx = jnp.argmax(jnp.where(valid, u, -1.0))
+        out = paste_n_occlude(image, amodal[idx], occluder_bank,
+                              k_paste, max_occluders=max_occluders,
+                              scale_range=scale_range,
+                              occlude_prob=occlude_prob)
+        any_valid = jnp.any(valid)
+        image = jnp.where(any_valid, out["image"], image)
+        occ = out["occlusion_mask"] & any_valid
+        new_boxes, vis = jax.vmap(
+            lambda b: shrink_visible_box(b, occ))(boxes)
+        new_valid = valid & (vis > 0.0)
+        return image, new_boxes.astype(boxes.dtype), new_valid, vis
+
+    keys = jax.random.split(rng, images.shape[0])
+    return jax.vmap(one)(images, gt_boxes, gt_amodal, gt_valid, keys)

@@ -5,8 +5,10 @@ import jax.numpy as jnp
 from tao_amodal_tpu.train.paste_n_occlude import (
     make_occluder_bank,
     paste_n_occlude,
+    paste_n_occlude_batch,
     paste_patch,
     shrink_visible_box,
+    synthetic_occluder_bank,
 )
 
 
@@ -54,3 +56,59 @@ def test_paste_n_occlude_end_to_end():
     batched = jax.vmap(lambda i, b, k: paste_n_occlude(i, b, bank, k))(
         imgs, boxes, keys)
     assert batched["image"].shape == (4, 64, 64, 3)
+
+
+def test_synthetic_occluder_bank_shapes_and_alpha():
+    bank = synthetic_occluder_bank(seed=3, num=5, patch_size=32)
+    assert bank.shape == (5, 32, 32, 4)
+    a = np.asarray(bank[..., 3])
+    # Elliptical alpha: opaque center, transparent corners.
+    assert (a[:, 16, 16] == 1.0).all()
+    assert (a[:, 0, 0] == 0.0).all()
+    rgb = np.asarray(bank[..., :3])
+    assert rgb.min() >= 0.0 and rgb.max() <= 255.0
+
+
+def test_paste_n_occlude_batch_training_contract():
+    """The detector-batch wrapper: amodal targets untouched, visible
+    boxes shrink-or-stay, zero-visibility gts invalidated, no-gt
+    samples pass through unchanged."""
+    rng = np.random.RandomState(1)
+    B, G, H, W = 3, 4, 64, 64
+    images = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32) * 255)
+    gt_amodal = jnp.asarray(
+        [[[4, 4, 60, 60], [-8, 10, 20, 40], [30, 30, 50, 50],
+          [0, 0, 0, 0]]] * B, jnp.float32)
+    # Visible = frame-clipped amodal (the synth_video contract).
+    gt_boxes = jnp.clip(gt_amodal,
+                        jnp.zeros(4), jnp.asarray([W, H, W, H],
+                                                  jnp.float32))
+    gt_valid = jnp.asarray([[True, True, True, False],
+                            [True, True, True, False],
+                            [False, False, False, False]])
+    bank = synthetic_occluder_bank(seed=0, num=4, patch_size=16)
+    img2, boxes2, valid2, vis = paste_n_occlude_batch(
+        images, gt_boxes, gt_amodal, gt_valid, bank,
+        jax.random.PRNGKey(0), occlude_prob=1.0)
+    assert img2.shape == images.shape
+    assert boxes2.shape == gt_boxes.shape
+    assert vis.shape == (B, G)
+    b0, b2 = np.asarray(boxes2), np.asarray(gt_boxes)
+    # Visible boxes never grow.
+    valid_np = np.asarray(gt_valid)
+    assert (b0[..., 0][valid_np] >= b2[..., 0][valid_np] - 1e-3).all()
+    assert (b0[..., 1][valid_np] >= b2[..., 1][valid_np] - 1e-3).all()
+    assert (b0[..., 2][valid_np] <= b2[..., 2][valid_np] + 1e-3).all()
+    assert (b0[..., 3][valid_np] <= b2[..., 3][valid_np] + 1e-3).all()
+    # Something was actually occluded (occlude_prob=1).
+    assert float(np.asarray(vis)[:2][np.asarray(gt_valid[:2])].min()) \
+        < 1.0
+    # Invalid slots stay invalid; zero-visibility slots become invalid.
+    v2 = np.asarray(valid2)
+    assert not v2[0, 3] and not v2[2].any()
+    assert (v2 <= valid_np).all()
+    zero_vis = np.asarray(vis) <= 0.0
+    assert not (v2 & zero_vis).any()
+    # The no-valid-gt sample's pixels are untouched.
+    np.testing.assert_allclose(np.asarray(img2[2]),
+                               np.asarray(images[2]))

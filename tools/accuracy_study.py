@@ -35,7 +35,8 @@ logger = logging.getLogger("accuracy_study")
 
 
 def train(pipeline, gt, frames_by_video, steps, batch_size, seed=0,
-          lr=1e-3, augment=True, snapshot_steps=(), max_gt=8):
+          lr=1e-3, augment=True, snapshot_steps=(), max_gt=8,
+          paste_n_occlude=False):
     """Train; returns ``{step: variables}`` snapshots (always includes
     the final step)."""
     import jax
@@ -43,6 +44,14 @@ def train(pipeline, gt, frames_by_video, steps, batch_size, seed=0,
     import optax
 
     from tao_amodal_tpu.train.detector_loss import detector_train_loss
+
+    pno_bank = None
+    if paste_n_occlude:
+        from tao_amodal_tpu.train.paste_n_occlude import (
+            synthetic_occluder_bank,
+        )
+
+        pno_bank = synthetic_occluder_bank(seed=seed)
 
     hw = gt["images"][0]["height"]
     variables = pipeline.init(jax.random.PRNGKey(seed),
@@ -78,6 +87,20 @@ def train(pipeline, gt, frames_by_video, steps, batch_size, seed=0,
             gt, frames_by_video, rng, batch_size, steps=steps,
             augment=augment, max_gt=max_gt)):
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if pno_bank is not None:
+            # Paste BEFORE normalization (the bank is 0-255 RGB):
+            # occluders composite onto raw pixels, visible boxes
+            # shrink, amodal targets stay — the expander's training
+            # signal (reference recipe: README.md:99's companion).
+            from tao_amodal_tpu.train.paste_n_occlude import (
+                paste_n_occlude_batch,
+            )
+
+            img, gb, gv, _ = paste_n_occlude_batch(
+                batch["images"], batch["gt_boxes"],
+                batch["gt_amodal"], batch["gt_valid"], pno_bank,
+                jax.random.PRNGKey(7_000_000 + i))
+            batch = dict(batch, images=img, gt_boxes=gb, gt_valid=gv)
         batch["images"] = (batch["images"] - mean) / std
         variables, opt_state, loss, metrics = step(
             variables, opt_state, batch, jax.random.PRNGKey(i))
@@ -153,6 +176,10 @@ def main(argv=None):
     p.add_argument("--tracks", type=int, default=6,
                    help="objects per video; crowded scenes make the "
                         "proposal-budget lever measurable")
+    p.add_argument("--num_dets", type=int, default=32,
+                   help="per-frame detection cap of the study "
+                        "detector; raise for crowded-scene configs "
+                        "(>= --tracks or the cap censors recall)")
     p.add_argument("--train_steps", type=int, default=500)
     p.add_argument("--checkpoints", default="",
                    help="comma list of intermediate snapshot steps; "
@@ -174,6 +201,18 @@ def main(argv=None):
     p.add_argument("--skip_exact", action="store_true",
                    help="omit the exact-top-k config (resolved in the "
                         "round-3 study; saves one inference per ckpt)")
+    p.add_argument("--paste_n_occlude", action="store_true",
+                   help="train with PasteNOcclude (synthetic occluders "
+                        "pasted over targets; visible gt boxes shrink, "
+                        "amodal targets stay — the expander training "
+                        "recipe of the reference's companion repo, "
+                        "README.md:99)")
+    p.add_argument("--expander_ablation", action="store_true",
+                   help="add an expander-OFF config (identity boxes: "
+                        "the tracker consumes the detector's visible "
+                        "frame-clipped boxes) — the control that shows "
+                        "whether the Amodal Expander earns its name on "
+                        "AP-HP/AP-OOF")
     p.add_argument("--val_groups", type=int, default=1,
                    help="additionally evaluate Track-AP on N disjoint "
                         "video subsets of the val set, recording the "
@@ -219,7 +258,7 @@ def main(argv=None):
     proposals_list = [int(x) for x in
                       args.num_proposals_list.split(",")]
     assignments = args.assignments.split(",")
-    arch = dict(num_classes=3, num_dets=32,
+    arch = dict(num_classes=3, num_dets=args.num_dets,
                 backbone_stages=(1, 1, 1, 1), dtype=dtype)
 
     gt_train, frames_train = make_synth_videos(
@@ -260,7 +299,8 @@ def main(argv=None):
         snapshots = train(pipeline, gt_train, frames_train,
                           args.train_steps, args.batch,
                           snapshot_steps=snapshot_steps,
-                          max_gt=max(args.tracks, 8))
+                          max_gt=max(args.tracks, 8),
+                          paste_n_occlude=args.paste_n_occlude)
         for step, variables in snapshots.items():
             save_pytree(os.path.join(args.workdir,
                                      f"ckpt_{step}.npz"), variables)
@@ -270,21 +310,25 @@ def main(argv=None):
     base_res, base_p, base_a, base_k = (
         resolutions[0], proposals_list[0], assignments[0],
         pre_nms_list[0])
-    # (tag, res, exact_topk, num_proposals, assignment, pre_nms)
-    configs = [(f"res{r}", r, False, base_p, base_a, base_k)
+    # (tag, res, exact_topk, num_proposals, assignment, pre_nms,
+    #  use_expander)
+    configs = [(f"res{r}", r, False, base_p, base_a, base_k, True)
                for r in resolutions]
     if not args.skip_exact:
         configs.append((f"res{base_res}_exact", base_res, True, base_p,
-                        base_a, base_k))
+                        base_a, base_k, True))
     configs += [(f"res{base_res}_p{p}", base_res, False, p, base_a,
-                 base_k)
+                 base_k, True)
                 for p in proposals_list[1:]]
     configs += [(f"res{base_res}_{a}", base_res, False, base_p, a,
-                 base_k)
+                 base_k, True)
                 for a in assignments[1:]]
     configs += [(f"res{base_res}_prenms{k}", base_res, False, base_p,
-                 base_a, k)
+                 base_a, k, True)
                 for k in pre_nms_list[1:]]
+    if args.expander_ablation:
+        configs.append((f"res{base_res}_noexpander", base_res, False,
+                        base_p, base_a, base_k, False))
 
     from tao_amodal_tpu.evaluation.detection_eval import (
         AmodalDetectionEvaluator,
@@ -317,18 +361,31 @@ def main(argv=None):
 
     results = {}
     for ckpt_step, variables in sorted(snapshots.items()):
-        for tag, res, exact, num_p, assign, pre_k in configs:
+        for (tag, res, exact, num_p, assign, pre_k,
+             use_exp) in configs:
             pipe = AmodalPipeline.create(
                 exact_topk=exact, num_proposals=num_p,
-                sort_assignment=assign, pre_nms_topk=pre_k, **arch)
+                sort_assignment=assign, pre_nms_topk=pre_k,
+                use_expander=use_exp, **arch)
             t0 = time.time()
             try:
                 records = infer(pipe, variables, gt_val, frames_val,
                                 res,
                                 score_threshold=args.score_threshold)
-            except Exception as e:  # transient remote-compile 500s
-                logger.warning("infer failed (%s); retrying in 60s",
-                               type(e).__name__)
+            except Exception as e:
+                # Retry ONLY the transient tunnel/remote-compile
+                # failures actually observed (HTTP 500s surfacing as
+                # INTERNAL/UNAVAILABLE XlaRuntimeError); deterministic
+                # bugs (shape errors, OOM, config typos) re-raise
+                # immediately (ADVICE r4).
+                msg = f"{type(e).__name__}: {e}"
+                transient = any(s in msg for s in (
+                    "INTERNAL", "UNAVAILABLE", "DEADLINE_EXCEEDED",
+                    "500", "Socket closed", "Connection reset"))
+                if not transient:
+                    raise
+                logger.warning("transient infer failure (%s); "
+                               "retrying in 60s", msg.splitlines()[0])
                 time.sleep(60)
                 records = infer(pipe, variables, gt_val, frames_val,
                                 res,
@@ -347,14 +404,35 @@ def main(argv=None):
                 "track_ap": round(100 * float(ev.results["AP"]), 3),
                 "track_ap50": round(
                     100 * float(ev.results["AP50"]), 3),
+                # The namesake metrics (VERDICT r4 item 2): the amodal
+                # occlusion splits of both evaluators — reference
+                # headline surface at tools/eval_on_tao_amodal.py:72-84
+                # (3DmAP-HP) and lvis_amodal/eval.py:567-575 (the
+                # visibility ranges).
+                "track_ap_hp": round(
+                    100 * float(ev.results["AP-HP"]), 3),
+                "track_ap50_hp": round(
+                    100 * float(ev.results["AP50-HP"]), 3),
                 "det_ap": round(100 * float(det.results["AP"]), 3),
                 "det_ap50": round(
                     100 * float(det.results["AP50"]), 3),
+                "det_ap_hp": round(
+                    100 * float(det.results["AP-HP"]), 3),
+                "det_ap50_hp": round(
+                    100 * float(det.results["AP50-HP"]), 3),
+                "det_ap_ho": round(
+                    100 * float(det.results["AP-HO"]), 3),
+                "det_ap_po": round(
+                    100 * float(det.results["AP-PO"]), 3),
+                "det_ap_oof": round(
+                    100 * float(det.results["AP-OOF"]), 3),
+                "det_ap50_oof": round(
+                    100 * float(det.results["AP50-OOF"]), 3),
                 "num_predictions": len(records),
                 "infer_seconds": round(infer_s, 1),
             }
             if groups:
-                g_ap50 = []
+                g_ap50, g_ap50_hp, g_det_hp, g_det_oof = [], [], [], []
                 for gi, vids in enumerate(groups):
                     sub_rec = [r for r in records
                                if r["video_id"] in vids]
@@ -367,7 +445,19 @@ def main(argv=None):
                     gev.run()
                     g_ap50.append(
                         round(100 * float(gev.results["AP50"]), 3))
+                    g_ap50_hp.append(
+                        round(100 * float(gev.results["AP50-HP"]), 3))
+                    gdet = AmodalDetectionEvaluator(
+                        group_paths[gi], sp, "bbox")
+                    gdet.run()
+                    g_det_hp.append(round(
+                        100 * float(gdet.results["AP50-HP"]), 3))
+                    g_det_oof.append(round(
+                        100 * float(gdet.results["AP50-OOF"]), 3))
                 results[key]["track_ap50_groups"] = g_ap50
+                results[key]["track_ap50_hp_groups"] = g_ap50_hp
+                results[key]["det_ap50_hp_groups"] = g_det_hp
+                results[key]["det_ap50_oof_groups"] = g_det_oof
             logger.info("%s: %s", key, results[key])
             # Incremental write: a crash partway keeps the data.
             with open(args.out, "w") as f:
