@@ -84,7 +84,15 @@ def _int8_conv(mod: "ConvBN", x, pad):
 
 
 class Bottleneck(nn.Module):
-    """ResNet bottleneck with optional dilation (atrous)."""
+    """ResNet bottleneck with optional dilation (atrous).
+
+    NOTE: the fused-stage folding path (``_folded_block_params``)
+    addresses this module's children by their Flax auto-names
+    (``ConvBN_0..3`` / ``Conv_0`` / ``BatchNorm_0``) in construction
+    order; reordering or renaming submodules here breaks the folding
+    (loud KeyError on the fused inference path).  The fused-vs-unfused
+    parity test in tests/test_fused_stage.py is the guard.
+    """
 
     features: int
     strides: int = 1

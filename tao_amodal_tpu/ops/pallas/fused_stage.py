@@ -315,11 +315,22 @@ def fused_bottleneck_chain(x, params, tile_rows=None):
       params: list of folded per-block dicts with keys
         ``wa/ba/w3/b3/wb/bb`` (+ ``wd/bd`` projection shortcut where the
         block changes width).  Fold BN first via :func:`fold_convbn`.
-      tile_rows: rows per grid step; None = largest divisor of H that
-        fits the scoped-VMEM estimate (:func:`_chain_tile_rows`).
+      tile_rows: UPPER BOUND on rows per grid step — the chooser picks
+        the largest divisor of H that is <= this cap AND fits the
+        scoped-VMEM estimate (:func:`_chain_tile_rows`); a cap that
+        divides nothing (or fits nothing) silently falls back to the
+        exact XLA chain.  None = no cap.  When benchmarking a specific
+        tiling, check the effective S via ``_chain_tile_rows`` first.
 
     Returns ``[T, H, W, 4M]``; differentiable (exact conv gradients via
     the XLA reference chain).
+
+    The VMEM budget in :func:`_chain_tile_rows` is a hand-derived
+    model of Mosaic's resident set, validated on the production
+    stage-1/2/3 geometries only; if it under-estimates on a new shape
+    the failure mode is a hard Mosaic lowering/OOM error, not a
+    graceful fallback — validate new shapes on-chip before enabling a
+    fused stage in serving configs.
     """
     H, W, Cin = x.shape[1], x.shape[2], x.shape[3]
     halo = len(params)

@@ -315,17 +315,17 @@ def prroi_packed_fused(features, rois, out_size=7, wmaj=True,
         # No Mosaic-legal roi blocking keeps the resident set inside
         # scoped VMEM (huge canvas and/or R with no 8-divisible
         # factor): take the exact XLA separable-matmul path instead.
-        # The canvas here is w-major, so pool with swapped roi axes
-        # and transpose the output grid back — bin (y, x) of the
-        # h-major pool is bin (x, y) of the w-major one.
+        # Only the pre_transposed case is stuck with a w-major canvas
+        # (pool with swapped roi axes, transpose the output grid back
+        # — bin (y, x) of the h-major pool is bin (x, y) of the
+        # w-major one); otherwise the original h-major ``features`` is
+        # still in scope — pool it directly, no extra HBM round-trip
+        # on exactly the huge-canvas shapes that land here.
         from tao_amodal_tpu.ops.roi import prroi_pool
 
-        feats_wm = features if (pre_transposed or not wmaj) else \
-            jnp.pad(features.transpose(1, 0, 2),
-                    ((0, n_long - features.shape[1]), (0, 0), (0, 0)))
-        if pre_transposed or wmaj:
+        if pre_transposed:
             rois_sw = rois[:, jnp.asarray([1, 0, 3, 2])]
-            out = prroi_pool(feats_wm, rois_sw, out_size, 1.0)
+            out = prroi_pool(features, rois_sw, out_size, 1.0)
             return out.transpose(0, 2, 1, 3).astype(features.dtype)
         return prroi_pool(features, rois, out_size,
                           1.0).astype(features.dtype)
