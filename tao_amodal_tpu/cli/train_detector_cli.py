@@ -49,10 +49,28 @@ def main(argv=None):
     parser.add_argument("--epochs", type=int, default=12)
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument(
+        "--paste_n_occlude", action="store_true",
+        help="augment every batch with PasteNOcclude (occluders "
+             "pasted over a random gt; visible boxes shrink, amodal "
+             "targets stay — the expander training recipe of the "
+             "reference's companion repo, README.md:99)")
+    parser.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (smoke/testing; the axon TPU "
+             "tunnel serves one process at a time)")
+    parser.add_argument(
+        "--occluder_bank", default=None,
+        help="npz/npy of [N, P, P, 4] RGBA occluder patches (e.g. "
+             "from train.paste_n_occlude.make_occluder_bank over real "
+             "segments); default: the synthetic ellipse bank")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from tao_amodal_tpu.parallel.dp import make_train_step
     from tao_amodal_tpu.parallel.mesh import make_mesh, shard_batch
@@ -88,10 +106,36 @@ def main(argv=None):
     rng = np.random.RandomState(0)
     steps = 3 if args.smoke else 50
 
+    pno = None
+    if args.paste_n_occlude:
+        from tao_amodal_tpu.train.paste_n_occlude import (
+            paste_n_occlude_batch,
+            synthetic_occluder_bank,
+        )
+
+        if args.occluder_bank:
+            bank = jnp.asarray(np.load(args.occluder_bank))
+        else:
+            bank = synthetic_occluder_bank()
+
+        def pno(batch, step_idx):
+            img, gb, gv, _ = paste_n_occlude_batch(
+                jnp.asarray(batch["images"]),
+                jnp.asarray(batch["gt_boxes"]),
+                jnp.asarray(batch["gt_amodal"]),
+                jnp.asarray(batch["gt_valid"]), bank,
+                jax.random.PRNGKey(9_000_000 + step_idx))
+            return dict(batch, images=np.asarray(img),
+                        gt_boxes=np.asarray(gb),
+                        gt_valid=np.asarray(gv))
+
     def data_iter(epoch):
-        for _ in range(steps):
-            yield shard_batch(mesh, synthetic_detection_batch(
-                rng, args.batch_size, hw=hw))
+        for i in range(steps):
+            batch = synthetic_detection_batch(rng, args.batch_size,
+                                              hw=hw)
+            if pno is not None:
+                batch = pno(batch, epoch * steps + i)
+            yield shard_batch(mesh, batch)
 
     trainer = Trainer(step, (variables, opt_state), data_iter,
                       TrainConfig(num_epochs=args.epochs,
