@@ -25,6 +25,12 @@ def main(argv=None):
     p.add_argument("study")
     p.add_argument("--base", default="res512",
                    help="tag of the base config")
+    p.add_argument("--compare", default=None,
+                   help="second study JSON: additionally print, for "
+                        "every (ckpt, tag) present in both files, the "
+                        "COMPARE-minus-STUDY delta per metric — the "
+                        "cross-run ablation view (e.g. PasteNOcclude "
+                        "on vs off, which train in separate runs)")
     args = p.parse_args(argv)
 
     with open(args.study) as f:
@@ -49,7 +55,20 @@ def main(argv=None):
     hdr = (f"{'config':24s} | "
            + " | ".join(f"ckpt{c}" for c in ckpts)
            + " | sign-stable | max|group spread|")
-    for metric in ("track_ap50", "track_ap", "det_ap"):
+    # (metric, per-group key for the paired-delta error bar).  The
+    # amodal splits (VERDICT r4 item 2) summarize exactly like the
+    # aggregates; metrics absent from the file (older studies) are
+    # skipped.
+    metrics = (("track_ap50", "track_ap50_groups"),
+               ("track_ap", None),
+               ("det_ap", None),
+               ("track_ap50_hp", "track_ap50_hp_groups"),
+               ("det_ap50_hp", "det_ap50_hp_groups"),
+               ("det_ap50_oof", "det_ap50_oof_groups"))
+    any_row = by_ckpt[ckpts[0]][args.base]
+    for metric, group_key in metrics:
+        if metric not in any_row:
+            continue
         print(f"== {metric} deltas vs base ==")
         print(hdr)
         for tag in tags:
@@ -63,9 +82,9 @@ def main(argv=None):
                     deltas.append(None)
                     continue
                 deltas.append(row[metric] - base[metric])
-                g = row.get("track_ap50_groups")
-                gb = base.get("track_ap50_groups")
-                if metric == "track_ap50" and g and gb:
+                g = row.get(group_key) if group_key else None
+                gb = base.get(group_key) if group_key else None
+                if g and gb:
                     # Paired per-group deltas: shared-video noise
                     # cancels, so the spread of the PAIRED deltas is
                     # the right error bar for the aggregate delta.
@@ -89,6 +108,29 @@ def main(argv=None):
         if g:
             print(f"ckpt{c}: groups={g} agg={row['track_ap50']} "
                   f"pstdev={statistics.pstdev(g):.2f}")
+
+    if args.compare:
+        with open(args.compare) as f:
+            other = json.load(f)
+        print(f"\n== cross-run deltas: {args.compare} minus "
+              f"{args.study} (same cell) ==")
+        for key in sorted(results):
+            if key not in other:
+                continue
+            a, b = results[key], other[key]
+            cells = []
+            for metric, group_key in metrics:
+                if metric not in a or metric not in b:
+                    continue
+                d = b[metric] - a[metric]
+                ga, gb = a.get(group_key), b.get(group_key)
+                if group_key and ga and gb:
+                    sp = statistics.pstdev(
+                        [y - x for x, y in zip(ga, gb)])
+                    cells.append(f"{metric} {d:+.2f}[±{sp:.2f}]")
+                else:
+                    cells.append(f"{metric} {d:+.2f}")
+            print(f"{key:28s} " + "  ".join(cells))
 
 
 if __name__ == "__main__":
