@@ -97,8 +97,8 @@ def auction_assign(benefit, eps=5e-5, floor=-1e-3, max_iters=200_000):
     return row_to_col
 
 
-@jax.jit
-def greedy_assign(benefit):
+@partial(jax.jit, static_argnames=("unrolled_rounds",))
+def greedy_assign(benefit, unrolled_rounds=6):
     """Sequential-greedy matching (global max first), computed in
     parallel rounds of *mutual-best* pairing.
 
@@ -108,6 +108,14 @@ def greedy_assign(benefit):
     interfere, so the fixpoint equals the sequential greedy matching.
     Rounds needed = length of the longest "next-best" chain (typically
     < 5); every round is dense max/argmax work, no serial N-step scan.
+
+    The first ``unrolled_rounds`` rounds are UNROLLED straight-line
+    code (XLA can fuse and pipeline them — inside the tracker's
+    per-frame scan a dynamic-trip-count while_loop is a serialization
+    point that measurably dominates the SORT step, see
+    experiments/sort_scan_bench.py); the rare longer chains finish in
+    a while_loop that usually runs zero iterations, so the result is
+    EXACTLY the greedy fixpoint for every input.
 
     Greedy differs from Hungarian only when taking a locally-best pair
     forces a worse total — rare under IoU gating; SORT exposes both
@@ -119,10 +127,6 @@ def greedy_assign(benefit):
     if n == 0 or m == 0:
         return jnp.full((n,), -1, jnp.int32)
     b0 = jnp.where(benefit > NEG / 2, benefit.astype(jnp.float32), NEG)
-
-    def cond(carry):
-        b, r2c, it = carry
-        return jnp.any(jnp.max(b, axis=1) > NEG / 2) & (it < n)
 
     def body(carry):
         b, r2c, it = carry
@@ -137,9 +141,16 @@ def greedy_assign(benefit):
         b = jnp.where(mutual[:, None] | col_taken[None, :], NEG, b)
         return b, r2c, it + 1
 
-    _, r2c, _ = jax.lax.while_loop(
-        cond, body, (b0, jnp.full((n,), -1, jnp.int32),
-                     jnp.zeros((), jnp.int32)))
+    carry = (b0, jnp.full((n,), -1, jnp.int32),
+             jnp.zeros((), jnp.int32))
+    for _ in range(min(unrolled_rounds, n)):
+        carry = body(carry)
+
+    def cond(c):
+        b, r2c, it = c
+        return jnp.any(jnp.max(b, axis=1) > NEG / 2) & (it < n)
+
+    _, r2c, _ = jax.lax.while_loop(cond, body, carry)
     return r2c
 
 

@@ -190,3 +190,29 @@ def test_sort_step_greedy_mode_runs():
                                assignment="greedy")
     assert int(jnp.sum(state.alive)) == 8
     assert np.all(np.asarray(out["det_track_id"]) > 0)
+
+
+def test_greedy_assign_long_chain_exceeds_unrolled_rounds():
+    """A next-best chain longer than the unrolled round budget must
+    still reach the exact greedy fixpoint (the while_loop residual):
+    b[i,i] = n-i and b[i,i-1] = n-i+0.5 makes every row i prefer col
+    i-1 (owned by row i-1), so exactly ONE pair resolves per round —
+    chain length n = 14 > unrolled_rounds."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tao_amodal_tpu.ops.hungarian import NEG, greedy_assign
+
+    n = 14
+    b = np.full((n, n), NEG)
+    for i in range(n):
+        b[i, i] = n - i
+        if i > 0:
+            b[i, i - 1] = n - i + 0.5
+    got = np.asarray(greedy_assign(jnp.asarray(b)))
+    np.testing.assert_array_equal(got, np.arange(n))
+    # And with unrolling disabled entirely (pure while_loop) the
+    # answer is identical.
+    got0 = np.asarray(greedy_assign(jnp.asarray(b),
+                                    unrolled_rounds=0))
+    np.testing.assert_array_equal(got0, np.arange(n))
