@@ -50,6 +50,14 @@ class AmodalPipeline(NamedTuple):
     # it isn't earning its name).  Init still creates expander params
     # so checkpoints stay interchangeable between the two settings.
     use_expander: bool = True
+    # Which boxes feed SORT association: 'amodal' (the expander
+    # output — association and reporting use the same boxes) or
+    # 'visible' (associate on the detector's modal boxes, REPORT the
+    # amodal ones — the reference decomposition: its tracker
+    # associates on detector boxes and the expander expands each
+    # detection afterwards, so expander regression noise never touches
+    # the IoU gate).  The round-5 study measures both.
+    sort_on: str = "amodal"
 
     @staticmethod
     def create(num_classes=80, num_dets=64, dtype=jnp.float32,
@@ -58,7 +66,8 @@ class AmodalPipeline(NamedTuple):
                stem="classic", exact_topk=False,
                sort_max_age=5, sort_min_hits=1,
                sort_assignment="greedy", pre_nms_topk=100,
-               pooling="auto", fused_stages=(), use_expander=True):
+               pooling="auto", fused_stages=(), use_expander=True,
+               sort_on="amodal"):
         return AmodalPipeline(
             detector=ClipDetector(num_classes=num_classes,
                                   num_dets=num_dets, dtype=dtype,
@@ -75,6 +84,7 @@ class AmodalPipeline(NamedTuple):
             sort_min_hits=sort_min_hits,
             sort_assignment=sort_assignment,
             use_expander=use_expander,
+            sort_on=sort_on,
         )
 
     def preprocess(self, frames, out_size=512, use_pallas=None):
@@ -141,8 +151,10 @@ class AmodalPipeline(NamedTuple):
         # unroll: the association chain is inherently sequential, but
         # unrolling lets XLA fuse the small per-frame ops across
         # iterations instead of paying loop plumbing per frame.
+        assoc_boxes = (det["boxes"] if self.sort_on == "visible"
+                       else amodal)
         sort_state, (track_ids, reported) = jax.lax.scan(
-            assoc, sort_state, (amodal, det_valid), unroll=16)
+            assoc, sort_state, (assoc_boxes, det_valid), unroll=16)
         return {
             "boxes": amodal,                  # [T, D, 4] xyxy amodal
             "visible_boxes": det["boxes"],    # [T, D, 4]
@@ -202,8 +214,10 @@ class AmodalPipeline(NamedTuple):
             return jax.lax.scan(assoc, state, (boxes, valid), unroll=16)
 
         unflat = lambda a: a.reshape((B, T) + a.shape[1:])
+        assoc_boxes = (det["boxes"] if self.sort_on == "visible"
+                       else amodal)
         sort_states, (track_ids, reported) = jax.vmap(per_video)(
-            sort_states, unflat(amodal), unflat(det_valid))
+            sort_states, unflat(assoc_boxes), unflat(det_valid))
         return {
             "boxes": unflat(amodal),
             "visible_boxes": unflat(det["boxes"]),

@@ -213,6 +213,19 @@ def main(argv=None):
                         "frame-clipped boxes) — the control that shows "
                         "whether the Amodal Expander earns its name on "
                         "AP-HP/AP-OOF")
+    p.add_argument("--sort_on_ablation", action="store_true",
+                   help="add a config that associates SORT on the "
+                        "detector's VISIBLE boxes while reporting the "
+                        "expander's amodal boxes (the reference "
+                        "decomposition: its tracker never sees "
+                        "expanded boxes) — tests whether expander "
+                        "regression noise in the IoU gate explains "
+                        "the track-AP gap vs the identity control")
+    p.add_argument("--only_tags", default="",
+                   help="comma list: run ONLY configs whose tag is "
+                        "listed (with --resume_dir, adds new arms to "
+                        "an existing study without re-running the "
+                        "rest)")
     p.add_argument("--val_groups", type=int, default=1,
                    help="additionally evaluate Track-AP on N disjoint "
                         "video subsets of the val set, recording the "
@@ -311,24 +324,32 @@ def main(argv=None):
         resolutions[0], proposals_list[0], assignments[0],
         pre_nms_list[0])
     # (tag, res, exact_topk, num_proposals, assignment, pre_nms,
-    #  use_expander)
-    configs = [(f"res{r}", r, False, base_p, base_a, base_k, True)
+    #  use_expander, sort_on)
+    configs = [(f"res{r}", r, False, base_p, base_a, base_k, True,
+                "amodal")
                for r in resolutions]
     if not args.skip_exact:
         configs.append((f"res{base_res}_exact", base_res, True, base_p,
-                        base_a, base_k, True))
+                        base_a, base_k, True, "amodal"))
     configs += [(f"res{base_res}_p{p}", base_res, False, p, base_a,
-                 base_k, True)
+                 base_k, True, "amodal")
                 for p in proposals_list[1:]]
     configs += [(f"res{base_res}_{a}", base_res, False, base_p, a,
-                 base_k, True)
+                 base_k, True, "amodal")
                 for a in assignments[1:]]
     configs += [(f"res{base_res}_prenms{k}", base_res, False, base_p,
-                 base_a, k, True)
+                 base_a, k, True, "amodal")
                 for k in pre_nms_list[1:]]
     if args.expander_ablation:
         configs.append((f"res{base_res}_noexpander", base_res, False,
-                        base_p, base_a, base_k, False))
+                        base_p, base_a, base_k, False, "amodal"))
+    if args.sort_on_ablation:
+        configs.append((f"res{base_res}_sortvis", base_res, False,
+                        base_p, base_a, base_k, True, "visible"))
+    if args.only_tags:
+        keep = set(args.only_tags.split(","))
+        configs = [c for c in configs if c[0] in keep]
+        assert configs, f"--only_tags matched nothing: {keep}"
 
     from tao_amodal_tpu.evaluation.detection_eval import (
         AmodalDetectionEvaluator,
@@ -360,13 +381,22 @@ def main(argv=None):
             group_paths.append(path)
 
     results = {}
+    if os.path.exists(args.out) and (args.resume_dir
+                                     or args.resume_ckpt):
+        # Resume runs EXTEND the existing study file (e.g. --only_tags
+        # adds a new arm to already-recorded cells) instead of
+        # clobbering it.
+        with open(args.out) as f:
+            results = json.load(f)
+        logger.info("extending %s (%d existing cells)", args.out,
+                    len(results))
     for ckpt_step, variables in sorted(snapshots.items()):
         for (tag, res, exact, num_p, assign, pre_k,
-             use_exp) in configs:
+             use_exp, s_on) in configs:
             pipe = AmodalPipeline.create(
                 exact_topk=exact, num_proposals=num_p,
                 sort_assignment=assign, pre_nms_topk=pre_k,
-                use_expander=use_exp, **arch)
+                use_expander=use_exp, sort_on=s_on, **arch)
             t0 = time.time()
             try:
                 records = infer(pipe, variables, gt_val, frames_val,
