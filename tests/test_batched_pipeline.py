@@ -59,3 +59,18 @@ def test_batched_threads_sort_state(tiny_pipeline):
                                   np.asarray(second["track_ids"][b])])
         np.testing.assert_array_equal(got_ids,
                                       np.asarray(solo["track_ids"]))
+
+
+def test_batched_matches_streaming_sort_on_visible(tiny_pipeline):
+    """The sort_on='visible' association swap must preserve the
+    batched == streaming equivalence (both paths pick the same
+    association input)."""
+    pipeline, variables, proc = tiny_pipeline
+    pipe_vis = pipeline._replace(sort_on="visible")
+    batched, _ = jax.jit(pipe_vis.batched)(variables, proc)
+    solo = jax.jit(lambda v, c: pipe_vis(v, c))(variables, proc[1])
+    np.testing.assert_allclose(np.asarray(batched["track_ids"][1]),
+                               np.asarray(solo["track_ids"]))
+    np.testing.assert_allclose(np.asarray(batched["boxes"][1]),
+                               np.asarray(solo["boxes"]), rtol=2e-4,
+                               atol=2e-3)
