@@ -37,8 +37,9 @@ def _pairwise_iou_xyxy(boxes):
                      0.0)
 
 
-@jax.jit
-def nms_keep_mask(boxes, scores, iou_thr, valid=None):
+@partial(jax.jit, static_argnames=("unrolled_rounds",))
+def nms_keep_mask(boxes, scores, iou_thr, valid=None,
+                  unrolled_rounds=8):
     """Exact greedy-NMS keep mask via fixpoint iteration.
 
     Args:
@@ -47,6 +48,16 @@ def nms_keep_mask(boxes, scores, iou_thr, valid=None):
         (suppression thresholds tolerate bf16; keep f32 where exact
         tie behavior matters).
       scores: ``[N]``; entries with ``valid=False`` never kept.
+      unrolled_rounds: Jacobi rounds emitted as straight-line code
+        before the early-exit while_loop takes over — the loop usually
+        runs ZERO iterations (convergence needs chain-depth rounds,
+        typically < 8), and on the serving path a dynamic-trip-count
+        loop is a serialization point XLA cannot fuse across (same
+        finding as the SORT greedy gate, experiments/
+        sort_scan_bench.py).  The body is idempotent at the fixpoint,
+        so extra unrolled rounds never change the result and the
+        while_loop residual guarantees exactness for adversarially
+        deep chains.
 
     Returns ``[N]`` bool keep mask, identical to score-sorted
     sequential greedy NMS.
@@ -70,10 +81,11 @@ def nms_keep_mask(boxes, scores, iou_thr, valid=None):
         new_keep = valid & ~jnp.any(sup & keep[:, None], axis=0)
         return new_keep, keep, rounds + 1
 
-    keep0 = valid
-    keep, _, _ = jax.lax.while_loop(
-        cond, body, (keep0, jnp.zeros_like(keep0), jnp.zeros((),
-                                                            jnp.int32)))
+    carry = (valid, jnp.zeros_like(valid),
+             jnp.zeros((), jnp.int32))
+    for _ in range(min(unrolled_rounds, n)):
+        carry = body(carry)
+    keep, _, _ = jax.lax.while_loop(cond, body, carry)
     return keep
 
 
