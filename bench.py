@@ -38,6 +38,11 @@ def main():
                         "equivalent per the study; latency differs)")
     p.add_argument("--pre_nms_topk", type=int, default=100,
                    help="per-level pre-NMS candidate budget")
+    p.add_argument("--sort_on", default="amodal",
+                   choices=["amodal", "visible"],
+                   help="boxes feeding SORT association (same FLOPs "
+                        "either way; 'visible' is the reference "
+                        "decomposition measured in the round-5 study)")
     p.add_argument("--num_proposals", type=int, default=96,
                    help="RoI budget per frame (accuracy impact "
                         "quantified in experiments/accuracy_study.json: "
@@ -98,7 +103,7 @@ def main():
         num_proposals=args.num_proposals,
         backbone_stages=(3, 4, 6, 3), dtype=dtype,
         pallas_pooling=False, stem="s2d_pre",
-        sort_assignment=args.assignment,
+        sort_assignment=args.assignment, sort_on=args.sort_on,
         pre_nms_topk=args.pre_nms_topk,
         pooling=args.pooling,
         fused_stages=tuple(int(s) for s in args.fused_stages.split(",")

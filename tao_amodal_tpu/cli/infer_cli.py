@@ -64,6 +64,12 @@ def main(argv=None):
                    choices=["greedy", "gated_auction", "auction"])
     p.add_argument("--fused_stages", default="",
                    help="trunk stages for the fused Pallas chain")
+    p.add_argument("--sort_on", default="amodal",
+                   choices=["amodal", "visible"],
+                   help="boxes feeding SORT association; 'visible' = "
+                        "associate on detector boxes, report amodal "
+                        "(the reference decomposition — round-5 "
+                        "study)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -87,7 +93,7 @@ def main(argv=None):
             int(s) for s in args.backbone_stages.split(",")),
         num_dets=args.num_dets, num_proposals=args.num_proposals,
         pre_nms_topk=args.pre_nms_topk,
-        sort_assignment=args.assignment,
+        sort_assignment=args.assignment, sort_on=args.sort_on,
         fused_stages=tuple(int(s) for s in args.fused_stages.split(",")
                            if s.strip()))
     S, T = args.input_size, args.clip_len
