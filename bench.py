@@ -38,11 +38,12 @@ def main():
                         "equivalent per the study; latency differs)")
     p.add_argument("--pre_nms_topk", type=int, default=100,
                    help="per-level pre-NMS candidate budget")
-    p.add_argument("--sort_on", default="amodal",
+    p.add_argument("--sort_on", default="visible",
                    choices=["amodal", "visible"],
                    help="boxes feeding SORT association (same FLOPs "
-                        "either way; 'visible' is the reference "
-                        "decomposition measured in the round-5 study)")
+                        "either way; 'visible' is the flagship default "
+                        "— the reference decomposition, shipped by the "
+                        "round-5 study)")
     p.add_argument("--num_proposals", type=int, default=96,
                    help="RoI budget per frame (accuracy impact "
                         "quantified in experiments/accuracy_study.json: "

@@ -64,7 +64,7 @@ def main(argv=None):
                    choices=["greedy", "gated_auction", "auction"])
     p.add_argument("--fused_stages", default="",
                    help="trunk stages for the fused Pallas chain")
-    p.add_argument("--sort_on", default="amodal",
+    p.add_argument("--sort_on", default="visible",
                    choices=["amodal", "visible"],
                    help="boxes feeding SORT association; 'visible' = "
                         "associate on detector boxes, report amodal "

@@ -28,6 +28,26 @@ _CAT_COLORS = {
 }
 
 
+def _category_colors(num_categories):
+    """Appearance-distinct base RGB per category id (1..n).
+
+    The first three keep the historical palette (closed-loop studies
+    and fixtures depend on those exact pixels); extra categories take
+    golden-ratio-spaced hues at high saturation — maximally spread
+    colors for a classifier that must learn appearance, matching the
+    crowded-scene study's need for a wider vocabulary (the reference's
+    protocol assumes LVIS-scale category counts,
+    ``tao_amodal/evaluation/tao_amodal/results.py:121``)."""
+    import colorsys
+
+    colors = dict(_CAT_COLORS)
+    for c in range(4, num_categories + 1):
+        h = (c * 0.6180339887) % 1.0
+        r, g, b = colorsys.hsv_to_rgb(h, 0.85, 0.82)
+        colors[c] = (int(r * 255), int(g * 255), int(b * 255))
+    return colors
+
+
 def _draw_rect(frame, x0, y0, x1, y1, color, texture):
     H, W = frame.shape[:2]
     ix0, iy0 = max(0, int(x0)), max(0, int(y0))
@@ -42,16 +62,17 @@ def _draw_rect(frame, x0, y0, x1, y1, color, texture):
 
 def make_synth_videos(seed=0, num_videos=8, frames_per_video=32,
                       hw=512, tracks_per_video=6, min_size=14,
-                      max_size=150):
+                      max_size=150, num_categories=3):
     """Generate videos; returns ``(gt_dict, frames)`` with ``frames`` a
     dict ``video_id -> uint8 [T, H, W, 3]``."""
     rng = np.random.RandomState(seed)
     H = W = hw
+    cat_colors = _category_colors(num_categories)
     categories = [
         {"id": c, "name": f"synth_cat_{c}", "synset": "unknown",
          "frequency": "cf f"[c % 2], "image_count": num_videos,
          "instance_count": num_videos * tracks_per_video}
-        for c in _CAT_COLORS
+        for c in cat_colors
     ]
     for c in categories:
         c["frequency"] = ["r", "c", "f"][c["id"] % 3]
@@ -82,7 +103,7 @@ def make_synth_videos(seed=0, num_videos=8, frames_per_video=32,
         # Object state: z-order = index (later drawn on top).
         objs = []
         for z in range(tracks_per_video):
-            cat = int(rng.randint(1, len(_CAT_COLORS) + 1))
+            cat = int(rng.randint(1, len(cat_colors) + 1))
             w0 = float(rng.uniform(min_size, max_size))
             h0 = float(rng.uniform(min_size, max_size))
             objs.append({
@@ -91,7 +112,7 @@ def make_synth_videos(seed=0, num_videos=8, frames_per_video=32,
                 "cy": float(rng.uniform(0.1 * H, 0.9 * H)),
                 "vx": float(rng.uniform(-6, 6)),
                 "vy": float(rng.uniform(-6, 6)),
-                "color": np.asarray(_CAT_COLORS[cat], np.float32)
+                "color": np.asarray(cat_colors[cat], np.float32)
                 * float(rng.uniform(0.8, 1.2)),
                 "tex_seed": int(rng.randint(1 << 30)),
             })

@@ -50,14 +50,19 @@ class AmodalPipeline(NamedTuple):
     # it isn't earning its name).  Init still creates expander params
     # so checkpoints stay interchangeable between the two settings.
     use_expander: bool = True
-    # Which boxes feed SORT association: 'amodal' (the expander
-    # output — association and reporting use the same boxes) or
-    # 'visible' (associate on the detector's modal boxes, REPORT the
-    # amodal ones — the reference decomposition: its tracker
-    # associates on detector boxes and the expander expands each
-    # detection afterwards, so expander regression noise never touches
-    # the IoU gate).  The round-5 study measures both.
-    sort_on: str = "amodal"
+    # Which boxes feed SORT association: 'visible' (flagship default —
+    # associate on the detector's modal boxes, REPORT the expander's
+    # amodal ones; the reference decomposition: its tracker associates
+    # on detector boxes and the expander expands each detection
+    # afterwards, so expander regression noise never touches the IoU
+    # gate) or 'amodal' (association and reporting share the expander
+    # output).  The round-5 study (accuracy_study_r5_pno.json, 3 ckpts
+    # x 4 noise groups) makes 'visible' the shipped default:
+    # +12.5..+20.8 Track-AP50 over 'amodal' (sign-stable, clears the
+    # 6.8 group spread) with the expander's det amodal gains fully
+    # intact (det AP50-HP/OOF within +-0.3 of the 'amodal' arm, vs the
+    # identity control's -8.6/-13.0).
+    sort_on: str = "visible"
 
     @staticmethod
     def create(num_classes=80, num_dets=64, dtype=jnp.float32,
@@ -67,7 +72,7 @@ class AmodalPipeline(NamedTuple):
                sort_max_age=5, sort_min_hits=1,
                sort_assignment="greedy", pre_nms_topk=100,
                pooling="auto", fused_stages=(), use_expander=True,
-               sort_on="amodal"):
+               sort_on="visible"):
         return AmodalPipeline(
             detector=ClipDetector(num_classes=num_classes,
                                   num_dets=num_dets, dtype=dtype,

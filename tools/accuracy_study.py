@@ -176,6 +176,11 @@ def main(argv=None):
     p.add_argument("--tracks", type=int, default=6,
                    help="objects per video; crowded scenes make the "
                         "proposal-budget lever measurable")
+    p.add_argument("--num_categories", type=int, default=3,
+                   help="synthetic vocabulary size (crowded-scene "
+                        "configs pair density with more categories so "
+                        "the classifier and the per-category eval "
+                        "protocol are both exercised)")
     p.add_argument("--num_dets", type=int, default=32,
                    help="per-frame detection cap of the study "
                         "detector; raise for crowded-scene configs "
@@ -271,17 +276,20 @@ def main(argv=None):
     proposals_list = [int(x) for x in
                       args.num_proposals_list.split(",")]
     assignments = args.assignments.split(",")
-    arch = dict(num_classes=3, num_dets=args.num_dets,
+    arch = dict(num_classes=args.num_categories,
+                num_dets=args.num_dets,
                 backbone_stages=(1, 1, 1, 1), dtype=dtype)
 
     gt_train, frames_train = make_synth_videos(
         seed=0, num_videos=args.videos_train,
         frames_per_video=args.frames, hw=args.hw,
-        tracks_per_video=args.tracks)
+        tracks_per_video=args.tracks,
+        num_categories=args.num_categories)
     gt_val, frames_val = make_synth_videos(
         seed=1000, num_videos=args.videos_val,
         frames_per_video=args.frames, hw=args.hw,
-        tracks_per_video=args.tracks)
+        tracks_per_video=args.tracks,
+        num_categories=args.num_categories)
     gt_path = os.path.join(args.workdir, "gt_val.json")
     with open(gt_path, "w") as f:
         json.dump(gt_val, f)
