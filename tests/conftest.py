@@ -55,6 +55,7 @@ SLOW_MODULES = {
     "test_roi",                # prroi fwd+bwd oracle compiles
     "test_run_video",
     "test_siammask",
+    "test_sort_scan_pallas",   # whole-clip pallas sort kernel (interpret)
     "test_sot_harness",        # tracker-on-sequence harnesses
     "test_sot_train",
     "test_torch_convert",      # full detector conversion parity
