@@ -66,14 +66,21 @@ class ClipDetector(nn.Module):
     # (experiments/accuracy_study.json, 3 checkpoints, det AP50 ~77)
     # shows NO detection-AP penalty down to 64 proposals at ~10-object
     # scene density — and the head path (pool + box head) scales
-    # linearly with this budget.  Re-measure before raising scene
-    # density far beyond that (LVIS-vocabulary crowded scenes).
+    # linearly with this budget.  Crowded-scene re-measure (round 5,
+    # experiments/accuracy_study_r5_crowded.json: 40 objects/video,
+    # 8 categories, 3 ckpts x 4 noise groups): 128 buys
+    # +0.2/+1.3/+1.2 track-AP50 over 96 but costs 4% end-to-end
+    # throughput (2074 -> 1990 f/s, under the 2000 target), so 96
+    # stays the default; raise this knob for crowded-vocabulary
+    # deployments where that ~1 track-AP point matters.
     num_proposals: int = 96
     # Per-level pre-NMS candidate budget (select_proposals): the
     # proposal NMS cost grows with (levels * pre_nms_topk)^2.
     # 100 (was 150): det-AP deltas vs 150 flip sign across the
     # resolved study's 3 checkpoints (+0.26/-0.03/-0.32 — noise), same
-    # acceptance standard as the 96-proposal budget.
+    # acceptance standard as the 96-proposal budget.  Holds EXACTLY at
+    # crowded density (round-5 study, 40 objects/video: 300-vs-100
+    # deltas within +-0.03 on every metric at all 3 checkpoints).
     pre_nms_topk: int = 100
     anchor_scales: Sequence[float] = (32, 64, 128, 256, 512)
     anchor_ratios: Sequence[float] = (0.5, 1.0, 2.0)

@@ -401,6 +401,13 @@ def main(argv=None):
     for ckpt_step, variables in sorted(snapshots.items()):
         for (tag, res, exact, num_p, assign, pre_k,
              use_exp, s_on) in configs:
+            if f"ckpt{ckpt_step}_{tag}" in results:
+                # Resume semantics: a cell already recorded in --out is
+                # final (the r5 crowded run was OOM-killed at cell 8 of
+                # 12; --resume_dir + this skip reruns only the rest).
+                logger.info("skip existing cell ckpt%s_%s",
+                            ckpt_step, tag)
+                continue
             pipe = AmodalPipeline.create(
                 exact_topk=exact, num_proposals=num_p,
                 sort_assignment=assign, pre_nms_topk=pre_k,
@@ -500,6 +507,14 @@ def main(argv=None):
             # Incremental write: a crash partway keeps the data.
             with open(args.out, "w") as f:
                 json.dump(results, f, indent=2)
+            # Each cell jit-compiles a distinct pipeline config; the
+            # accumulated executable/trace caches grew the r5 crowded
+            # run to >100 GB RSS over 8 cells until the kernel OOM
+            # killer took it. Cells are independent — drop the caches.
+            import gc
+
+            jax.clear_caches()
+            gc.collect()
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
