@@ -12,6 +12,10 @@ a sharded batch axis.
 
 from tao_amodal_tpu.parallel.mesh import make_mesh  # noqa: F401
 from tao_amodal_tpu.parallel.dp import make_train_step  # noqa: F401
+from tao_amodal_tpu.parallel.tp import (  # noqa: F401
+    place_tp,
+    tp_param_shardings,
+)
 from tao_amodal_tpu.parallel.cp import sharded_track_iou  # noqa: F401
 from tao_amodal_tpu.parallel.pool import (  # noqa: F401
     FixedDevicePool,

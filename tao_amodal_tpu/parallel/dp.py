@@ -19,7 +19,8 @@ import optax
 from tao_amodal_tpu.parallel.mesh import data_sharding, replicated
 
 
-def make_train_step(loss_fn, optimizer, mesh, donate=True):
+def make_train_step(loss_fn, optimizer, mesh, donate=True,
+                    param_sharding=None):
     """Build a jitted data-parallel train step.
 
     Args:
@@ -28,6 +29,15 @@ def make_train_step(loss_fn, optimizer, mesh, donate=True):
         the batch (so XLA's cross-shard mean matches the reference's
         averaged all-reduce).
       optimizer: an optax GradientTransformation.
+      param_sharding: None (default) replicates the state across the
+        mesh — pure DP.  Pass a ``NamedSharding`` pytree (e.g.
+        ``parallel.tp.tp_param_shardings``) for hybrid TP+DP: the
+        caller places ``params`` per that tree (``parallel.tp.place_tp``)
+        and builds ``opt_state`` under jit from the placed params so
+        its param-shaped leaves inherit the same layout; the step then
+        preserves the committed placements instead of constraining to
+        replicated (gradients of 'model'-sharded weights come out
+        sharded, and their optimizer update runs sharded too).
 
     Returns ``step(state, batch, rng) -> (state, metrics)`` where
     ``state = (params, opt_state)``.
@@ -45,10 +55,22 @@ def make_train_step(loss_fn, optimizer, mesh, donate=True):
 
     rep = replicated(mesh)
     dat = data_sharding(mesh)
+    if param_sharding is None:
+        return jax.jit(
+            step,
+            in_shardings=((rep, rep), dat, rep),
+            out_shardings=((rep, rep), rep),
+            donate_argnums=(0,) if donate else (),
+        )
+    # Hybrid TP+DP: state shardings come from the arguments' committed
+    # placements (None = unspecified); only batch/rng/metrics are
+    # constrained.  GSPMD propagates the Megatron column/row kernel
+    # shardings through fwd+bwd+update and inserts the head
+    # all-reduces plus the cross-'data' grad reduction.
     return jax.jit(
         step,
-        in_shardings=((rep, rep), dat, rep),
-        out_shardings=((rep, rep), rep),
+        in_shardings=(None, dat, rep),
+        out_shardings=(None, rep),
         donate_argnums=(0,) if donate else (),
     )
 

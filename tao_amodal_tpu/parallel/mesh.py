@@ -4,9 +4,9 @@ Replaces ``dist_init`` (reference ``pysot/utils/distributed.py:76-112``,
 rank/world from env + NCCL groups): there is no process-group
 handshake — the mesh comes straight from ``jax.devices()`` and the
 sharding annotations do the rest.  The 2-D ``('data', 'model')`` layout
-reserves a tensor-parallel axis even though these model sizes only use
-data parallelism (survey §2d), so TP can be enabled by reshaping the
-mesh, not rewriting the code.  On multi-slice systems the data axis
+carries a tensor-parallel axis: ``parallel/tp.py`` shards the FC-heavy
+heads over ``'model'`` (Megatron column->row), everything else rides
+data parallelism (survey §2d).  On multi-slice systems the data axis
 should map to DCN and model to ICI (fastest varying).
 """
 

@@ -59,6 +59,7 @@ SLOW_MODULES = {
     "test_sot_harness",        # tracker-on-sequence harnesses
     "test_sot_train",
     "test_torch_convert",      # full detector conversion parity
+    "test_tp",                 # tensor-parallel train step vs oracle
     "test_scale_rehearsal",    # fixture->infer->eval dress run
     "test_fused_stage",        # pallas fused trunk chain (interpret)
     "test_trackers",           # siamrpn/longterm per-frame programs
