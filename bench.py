@@ -25,7 +25,16 @@ def main():
     import argparse
 
     p = argparse.ArgumentParser()
-    p.add_argument("--clip_len", type=int, default=16)
+    p.add_argument("--clip_len", type=int, default=8,
+                   help="frames per clip program. 8 is the measured "
+                        "single-chip optimum at the production "
+                        "geometries (+10%% over 16: the stage-1/2 "
+                        "activation working set halves; T=4 pays "
+                        "per-dispatch costs, T=12 breaks the "
+                        "8-multiple batch tiling — BENCH_NOTES "
+                        "round-5). Serving output is clip-length-"
+                        "invariant: SORT state threads across clip "
+                        "boundaries (tests/test_batched_pipeline.py)")
     p.add_argument("--videos", type=int, default=1,
                    help="videos processed concurrently per chip (the "
                         "v5e-8 serving shape batches several "
@@ -151,10 +160,11 @@ def main():
 
     # Block size: with the ~29 ms remote-tunnel RTT subtracted out,
     # RTT *jitter* still pollutes the residual — at 12 iters a 4:3
-    # block is only ~100 ms of chip work, so +-3 ms of tunnel noise is
-    # +-3% of the reading (observed 1863 vs 2010 across sessions).
-    # 36 iters puts ~300 ms of real work behind each sync point.
-    iters = 36
+    # T=16 block is only ~100 ms of chip work, so +-3 ms of tunnel
+    # noise is +-3% of the reading (observed 1863 vs 2010 across
+    # sessions).  Keep ~576 frames (~300 ms of real work at 4:3)
+    # behind each sync point regardless of clip length.
+    iters = max(36, (36 * 16) // max(T, 1))
 
     # The iteration loop lives IN-GRAPH (lax.fori_loop): each step
     # picks the next of the 3 resident clips, XORs in a bit derived

@@ -51,7 +51,13 @@ def main(argv=None):
     p.add_argument("--checkpoint", default=None,
                    help="npz pytree of pipeline variables")
     p.add_argument("--input_size", type=int, default=512)
-    p.add_argument("--clip_len", type=int, default=16)
+    p.add_argument("--clip_len", type=int, default=8,
+                   help="frames per clip program (output-invariant: "
+                        "SORT state threads across clips; 8 is the "
+                        "measured chip-throughput optimum — "
+                        "BENCH_NOTES round-5. Prefer 16 when each "
+                        "clip dispatch pays a long host round-trip, "
+                        "e.g. a remote-tunnel chip)")
     p.add_argument("--score_threshold", type=float, default=0.05)
     p.add_argument("--num_videos", type=int, default=None)
     # Architecture flags (must match the checkpoint being loaded).
@@ -70,6 +76,14 @@ def main(argv=None):
                         "associate on detector boxes, report amodal "
                         "(the reference decomposition — round-5 "
                         "study)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard video lanes over all devices "
+                        "(make_sharded_streaming): groups of "
+                        "len(jax.devices()) videos run in lockstep, "
+                        "one lane per device, SORT state threaded per "
+                        "lane — the v5e-8 serving shape with track "
+                        "continuity; output-equivalent to the "
+                        "single-stream path")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -80,6 +94,7 @@ def main(argv=None):
     from tao_amodal_tpu.ops.pallas.preproc import preprocess_clip
     from tao_amodal_tpu.pipeline import (
         AmodalPipeline,
+        make_sharded_streaming,
         video_detections_to_json,
     )
 
@@ -117,6 +132,75 @@ def main(argv=None):
     vids = sorted(dataset.vids.values(), key=lambda v: v["id"])
     if args.num_videos:
         vids = vids[:args.num_videos]
+
+    if args.data_parallel:
+        from tao_amodal_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(model=1)
+        B = mesh.shape["data"]
+        init_states, run_lanes = make_sharded_streaming(
+            pipeline, variables, mesh,
+            score_thr=args.score_threshold)
+        # Lanes run in lockstep, so group videos by similar length:
+        # an exhausted lane idles on zero clips until its group ends.
+        order = sorted(
+            vids, key=lambda v: -len(dataset.vid_img_map[v["id"]]))
+        zero_clip = np.zeros((T, S, S, 3), np.float32)
+        for g0 in range(0, len(order), B):
+            group = order[g0:g0 + B]
+            vid_imgs = [sorted(dataset.vid_img_map[v["id"]],
+                               key=lambda im: im["frame_index"])
+                       for v in group]
+            scales = [min(S / v["height"], S / v["width"])
+                      for v in group]
+            steps = max((len(ims) + T - 1) // T for ims in vid_imgs)
+            # Fresh per group: every lane starts a new video.
+            states = init_states()
+            by_video = [[] for _ in group]
+            for j in range(steps):
+                lanes, lane_ids = [], []
+                for b in range(B):
+                    chunk = (vid_imgs[b][j * T:(j + 1) * T]
+                             if b < len(group) else [])
+                    if not chunk:  # exhausted or padding lane
+                        lanes.append(zero_clip)
+                        lane_ids.append([-1] * T)
+                        continue
+                    pad = T - len(chunk)
+                    raw = load_clip(
+                        chunk, args.images_dir,
+                        (group[b]["height"], group[b]["width"]))
+                    clip, _ = preprocess_clip(raw, out_size=S)
+                    clip = np.asarray(clip, np.float32)
+                    if pad:
+                        clip = np.concatenate(
+                            [clip, np.zeros((pad, S, S, 3),
+                                            np.float32)])
+                    lanes.append(clip)
+                    lane_ids.append([im["id"] for im in chunk]
+                                    + [-1] * pad)
+                out, states = run_lanes(jnp.stack(lanes), states)
+                out = jax.tree_util.tree_map(np.asarray, out)
+                for b in range(len(group)):
+                    if all(i == -1 for i in lane_ids[b]):
+                        continue
+                    lane_out = {k: v[b] for k, v in out.items()}
+                    lane_out["boxes"] = lane_out["boxes"] / scales[b]
+                    by_video[b].append((lane_out, lane_ids[b]))
+            for b, video in enumerate(group):
+                records.extend(video_detections_to_json(
+                    by_video[b], video["id"],
+                    class_id_map=class_id_map,
+                    track_id_base=video["id"] * 10 ** 6))
+            logger.info("lane group %d..%d (%d lanes): %d records "
+                        "so far", g0, g0 + len(group) - 1, len(group),
+                        len(records))
+        with open(args.output, "w") as f:
+            json.dump(records, f)
+        logger.info("wrote %d predictions to %s", len(records),
+                    args.output)
+        return records
+
     for video in vids:
         images = sorted(dataset.vid_img_map[video["id"]],
                         key=lambda im: im["frame_index"])

@@ -376,3 +376,51 @@ def make_sharded_inference(pipeline, variables, mesh):
         return jax.vmap(lambda c: pipeline(variables, c))(clips)
 
     return lambda clips: run(variables, clips)
+
+
+def make_sharded_streaming(pipeline, variables, mesh, score_thr=0.05):
+    """Pod-scale SERVING: B concurrent video streams, one lane per
+    'data'-axis slot, with each lane's SORT state threaded across its
+    video's consecutive clips.
+
+    :func:`make_sharded_inference` scales the *stateless* clip program
+    (the bench shape — a fresh tracker per clip); serving whole videos
+    additionally needs track identities to survive clip boundaries on
+    every lane (reference semantics: its per-frame trackers are
+    stateful by construction, ``trackers/sot/base.py:59-102``).  This
+    wraps :meth:`AmodalPipeline.batched` in ONE jitted program with the
+    clips AND the per-lane SORT states sharded over 'data' (params
+    replicated): each chip runs its own lanes' detect+expand+associate
+    locally — zero collectives, like the stateless path — and the
+    returned states feed the next clip batch of the same videos.
+
+    Returns ``(init_states, run)``:
+      - ``init_states() -> states`` — fresh [B]-leading SORT-state
+        pytree placed with the lane sharding (B = mesh 'data' size);
+        build a fresh one per group of B videos (a lane's state must
+        reset at its video boundary, exactly like the single-stream
+        path resets per video).
+      - ``run(clips, states) -> (outputs, states)`` — clips
+        ``[B, T, H, W, C]`` (preprocessed, one video per lane); every
+        output leaf carries the leading lane axis.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    lane = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    B = mesh.shape["data"]
+
+    def init_states():
+        states = jax.vmap(
+            lambda _: pipeline.init_tracker_state())(jnp.arange(B))
+        return jax.device_put(states, lane)
+
+    @partial(jax.jit,
+             in_shardings=(rep, lane, lane),
+             out_shardings=(lane, lane))
+    def run(variables, clips, states):
+        return pipeline.batched(variables, clips, sort_states=states,
+                                score_thr=score_thr)
+
+    return init_states, lambda clips, states: run(variables, clips,
+                                                  states)

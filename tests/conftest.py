@@ -61,6 +61,7 @@ SLOW_MODULES = {
     "test_torch_convert",      # full detector conversion parity
     "test_tp",                 # tensor-parallel train step vs oracle
     "test_scale_rehearsal",    # fixture->infer->eval dress run
+    "test_sharded_streaming",  # 8-lane mesh serving vs solo oracle
     "test_fused_stage",        # pallas fused trunk chain (interpret)
     "test_trackers",           # siamrpn/longterm per-frame programs
     "test_training",           # detector/siamese train steps

@@ -51,6 +51,41 @@ def test_infer_then_eval(tmp_path, tiny_pipeline):
     assert "AP" in det
 
 
+def test_infer_cli_data_parallel_matches_single(tmp_path,
+                                                tiny_pipeline):
+    """--data_parallel (8 mesh lanes) emits the same predictions as
+    the single-stream path: per-lane SORT threading == solo streaming,
+    so only emission order may differ."""
+    import numpy as np
+
+    from tao_amodal_tpu.cli.infer_cli import main as infer_main
+
+    gt, _ = make_fixture(seed=13, num_videos=2, frames_per_video=6,
+                         img_size=(128, 128))
+    gt_path = tmp_path / "gt.json"
+    gt_path.write_text(json.dumps(gt))
+
+    common = ["--annotation", str(gt_path), "--input_size", "128",
+              "--clip_len", "4", "--score_threshold", "0.0"]
+    solo = infer_main(common + ["--output",
+                                str(tmp_path / "solo.json")])
+    lanes = infer_main(common + ["--data_parallel", "--output",
+                                 str(tmp_path / "lanes.json")])
+
+    key = lambda r: (r["video_id"], r["image_id"], r["track_id"],
+                     r["category_id"])
+    solo_map = {key(r): r for r in solo}
+    lanes_map = {key(r): r for r in lanes}
+    assert solo_map.keys() == lanes_map.keys()
+    for k, r in solo_map.items():
+        # Same math, different XLA fusion (B*T batch vs single clip):
+        # floats agree to the repo-wide device tolerance.
+        np.testing.assert_allclose(r["bbox"], lanes_map[k]["bbox"],
+                                   rtol=1e-4, atol=2e-3)
+        np.testing.assert_allclose(r["score"], lanes_map[k]["score"],
+                                   rtol=1e-4, atol=2e-3)
+
+
 def test_detections_to_json_splits_class_drift():
     """A SORT track whose argmax class drifts must emit one eval track
     per (track, class): the results loader asserts one category per
